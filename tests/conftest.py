@@ -1,0 +1,27 @@
+"""Test configuration: force an 8-device virtual CPU backend.
+
+This is the "fake backend" the reference never had (SURVEY.md §4): sharding /
+collective logic is exercised on `--xla_force_host_platform_device_count=8` CPU
+devices so data-parallel tests run without a TPU pod. The axon TPU plugin registers
+itself in every process via sitecustomize, so the platform must also be forced back
+to cpu at runtime.
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+# keep test numerics deterministic and fp32-exact
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return jax.random.key(0)

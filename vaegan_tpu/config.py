@@ -1,0 +1,282 @@
+"""Configuration tree for tpu-vaegan.
+
+The reference passes plain python kwargs through ``experiment()`` (reference
+README.md:860-877) into ``train_network_wgan()`` (README.md:742-764) plus a
+discriminator params dict (README.md:952-958).  Here the same surface is a frozen,
+JSON-(de)serializable dataclass tree, extended with the TPU-specific knobs the
+reference has no notion of (mesh shape, dtype policy, Pallas toggles) and with the
+five BASELINE.json configs as named presets.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence, Tuple
+
+
+def _freeze(seq):
+    return tuple(seq) if isinstance(seq, (list, tuple)) else seq
+
+
+class _Replaceable:
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
+@dataclass(frozen=True)
+class GeneratorConfig(_Replaceable):
+    """Architecture of the residual VAE generator (reference README.md:204-294, 522-597).
+
+    ``feature_depth`` (the latent channel count) is derived as
+    ``feature_size * 2**depth`` exactly like reference README.md:882.
+    """
+
+    in_channels: int = 1
+    depth: int = 2            # number of down/up-sample stages
+    length: int = 1           # ResBlocks per resolution level
+    feature_size: int = 64    # channels after the first block; doubles per stage
+    res_mode: str = "pre-activation"   # or "standard" (README.md:139-197)
+    dropout_prob: float = 0.5
+    logvar_bound: float = 50.0         # clamp of log-variance (README.md:549-550)
+    is_vae: bool = True
+
+    @property
+    def feature_depth(self) -> int:
+        return self.feature_size * (2 ** self.depth)
+
+
+@dataclass(frozen=True)
+class DiscriminatorConfig(_Replaceable):
+    """Critic architecture (reference README.md:422-498).
+
+    The reference hardcodes ``input_size = [1, 256, 256]`` (README.md:435); here the
+    flatten width of the first linear layer is derived from the actual input shape at
+    init time, so any resolution works (BASELINE configs 1 vs 5).
+    """
+
+    in_channels: int = 1
+    num_stride_conv1: int = 1
+    num_features_conv1: int = 64
+    num_blocks: Tuple[int, ...] = (1, 1, 1)
+    num_strides_res: Tuple[int, ...] = (1, 2, 2)
+    num_features_res: Tuple[int, ...] = (128, 256, 512)
+    res_mode: str = "pre-activation"
+    dropout_prob: float = 0.5
+    pool_size: int = 4                 # avg_pool2d window (README.md:471)
+    linear_widths: Tuple[int, ...] = (1024, 512, 256)  # README.md:458-461
+    # Which activation to tap as the Dis_l feature space for feature-matching
+    # reconstruction loss (Larsen et al. §3): "res_out" (after the residual stages),
+    # "pool" (after avg-pool), or "fc1" (after the first linear + LeakyReLU).
+    feature_tap: str = "res_out"
+
+    def __post_init__(self):
+        object.__setattr__(self, "num_blocks", _freeze(self.num_blocks))
+        object.__setattr__(self, "num_strides_res", _freeze(self.num_strides_res))
+        object.__setattr__(self, "num_features_res", _freeze(self.num_features_res))
+        object.__setattr__(self, "linear_widths", _freeze(self.linear_widths))
+
+
+@dataclass(frozen=True)
+class LossConfig(_Replaceable):
+    """Loss shape. The reference trains WGAN-GP-style with pixel L1+MSE recon and a
+    batch-and-dims summed KL (README.md:792-831); the paper-faithful BASELINE config 3
+    uses BCE adversarial + Dis_l feature-matching recon instead.
+    """
+
+    adversarial: str = "wgan"          # "wgan" | "bce" | "none"
+    reconstruction: str = "pixel"      # "pixel" (L1+MSE, README.md:921) | "dis_l"
+    adversarial_weight: float = 1.0
+    reconstruction_weight: float = 10.0
+    kl_weight: float = 0.1
+    kl_reduction: str = "sum"          # "sum" (reference README.md:822-825) | "mean"
+    lambda_gp: float = 10.0            # gradient-penalty weight (README.md:763)
+    clip_value: Optional[float] = 0.01  # post-step D weight clamp (README.md:805-806);
+    # None disables (the clamp on top of GP is a reference quirk, kept as default)
+
+
+@dataclass(frozen=True)
+class OptimConfig(_Replaceable):
+    """Optimizers. Reference: two RMSprop(lr, wd=1e-5) (README.md:918-919).
+    ``scheme="three"`` = paper-faithful per-network (enc / dec / disc) optimizers with
+    the Larsen et al. loss split.
+    """
+
+    scheme: str = "two"                # "two" (notebook) | "three" (paper)
+    optimizer: str = "rmsprop"         # torch-semantics rmsprop | "adam"
+    lr: float = 3e-4
+    weight_decay: float = 1e-5
+    rms_decay: float = 0.99            # torch RMSprop alpha
+    eps: float = 1e-8
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    # decoder's feature-matching weight gamma (Larsen alg. 1), three-opt only
+    gamma: float = 1.0
+
+
+@dataclass(frozen=True)
+class DataConfig(_Replaceable):
+    root_dir: str = "nii"
+    image_size: int = 96               # BASELINE: resize to 96x96 (configs 1-4)
+    batch_size: int = 4
+    shuffle: bool = True
+    drop_last: bool = False
+    num_workers: int = 4               # host-side decode threads
+    prefetch: int = 2                  # device-buffer depth
+    synthetic: bool = False            # on-device synthetic data (benchmarks)
+    synthetic_size: int = 1200         # ~dataset size of the reference (README.md:970)
+
+
+@dataclass(frozen=True)
+class ParallelConfig(_Replaceable):
+    data_axis: str = "data"
+    model_axis: str = "model"
+    num_data: int = -1                 # -1 = all visible devices
+    num_model: int = 1
+
+
+@dataclass(frozen=True)
+class TrainConfig(_Replaceable):
+    n_epochs: int = 3
+    n_critics: int = 1                 # G updated every n_critics steps (README.md:812)
+    sample_interval: int = 20          # image-grid dump cadence (README.md:853)
+    sample_dir: str = "gan_inference"
+    log_every: int = 1                 # metric host-flush cadence (steps)
+    checkpoint_dir: Optional[str] = None
+    checkpoint_every: int = 500
+    seed: int = 0
+    dtype: str = "float32"             # compute dtype: "float32" | "bfloat16"
+    use_pallas: bool = True            # fused Pallas kernels on TPU
+    remat: bool = False                # jax.checkpoint the generator blocks
+    init_scheme: str = "reference"     # faithful init quirks (README.md:700-707) | "clean"
+
+
+@dataclass(frozen=True)
+class Config(_Replaceable):
+    generator: GeneratorConfig = field(default_factory=GeneratorConfig)
+    discriminator: DiscriminatorConfig = field(default_factory=DiscriminatorConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+
+    # ------------------------------------------------------------------ json io
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def to_json(self, path: Optional[str] = None) -> str:
+        s = json.dumps(self.to_dict(), indent=2)
+        if path is not None:
+            with open(path, "w") as f:
+                f.write(s)
+        return s
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Config":
+        kw: dict[str, Any] = {}
+        for f_ in dataclasses.fields(cls):
+            sub = d.get(f_.name, {})
+            sub_cls = f_.default_factory  # type: ignore[union-attr]
+            kw[f_.name] = sub_cls() if not sub else sub_cls(**sub)
+        return cls(**kw)
+
+    @classmethod
+    def from_json(cls, path: str) -> "Config":
+        with open(path) as f:
+            return cls.from_dict(json.load(f))
+
+# ---------------------------------------------------------------------------
+# Named presets: the five BASELINE.json configs + the notebook's exact runs.
+# ---------------------------------------------------------------------------
+
+def _notebook_disc() -> DiscriminatorConfig:
+    # reference README.md:952-958
+    return DiscriminatorConfig(
+        num_stride_conv1=1, num_features_conv1=64,
+        num_blocks=(1, 1, 1), num_strides_res=(1, 2, 2),
+        num_features_res=(128, 256, 512),
+    )
+
+
+def _dummy_disc() -> DiscriminatorConfig:
+    # reference README.md:1297-1303 (plain-VAE run keeps a 1-feature dummy critic)
+    return DiscriminatorConfig(
+        num_stride_conv1=1, num_features_conv1=1,
+        num_blocks=(1,), num_strides_res=(1,), num_features_res=(1,),
+    )
+
+
+def preset(name: str) -> Config:
+    """Named configurations.
+
+    - ``vae_96``        — BASELINE config 1: plain VAE (adv weight 0), 96x96, batch 4.
+    - ``gan_only``      — BASELINE config 2: discriminator-only DCGAN-style BCE training.
+    - ``vaegan_paper``  — BASELINE config 3: Dis_l feature matching + BCE + three optimizers.
+    - ``vaegan_infer``  — BASELINE config 4: inference/generation-path config.
+    - ``vaegan_256_dp`` — BASELINE config 5: 256x256, large batch, data parallel.
+    - ``notebook``      — the reference notebook's exact VAE-GAN run (README.md:938-961).
+    - ``notebook_vae``  — the reference's plain-VAE ablation (README.md:1283-1306).
+    """
+    base = Config()
+    if name == "notebook":
+        return base.replace(discriminator=_notebook_disc(), data=base.data.replace(image_size=256))
+    if name == "notebook_vae":
+        return base.replace(
+            discriminator=_dummy_disc(),
+            loss=base.loss.replace(adversarial_weight=0.0),
+            data=base.data.replace(image_size=256),
+        )
+    if name == "vae_96":
+        return base.replace(
+            discriminator=_dummy_disc(),
+            loss=base.loss.replace(adversarial="none", adversarial_weight=0.0),
+        )
+    if name == "gan_only":
+        return base.replace(
+            discriminator=_notebook_disc(),
+            loss=base.loss.replace(
+                adversarial="bce", reconstruction_weight=0.0, kl_weight=0.0,
+                clip_value=None, lambda_gp=0.0,
+            ),
+        )
+    if name == "vaegan_paper":
+        return base.replace(
+            discriminator=_notebook_disc(),
+            loss=base.loss.replace(
+                adversarial="bce", reconstruction="dis_l", clip_value=None,
+                lambda_gp=0.0, kl_reduction="mean",
+                adversarial_weight=1.0, reconstruction_weight=1.0, kl_weight=1.0,
+            ),
+            optim=base.optim.replace(scheme="three"),
+        )
+    if name == "vaegan_infer":
+        return preset("notebook")
+    if name == "vaegan_256_dp":
+        return base.replace(
+            discriminator=_notebook_disc(),
+            data=base.data.replace(image_size=256, batch_size=64),
+            train=base.train.replace(dtype="bfloat16"),
+        )
+    raise ValueError(f"unknown preset {name!r}")
+
+
+def _dataclass_from(cls, d):
+    return cls(**d)
+
+
+# patch from_dict to build nested dataclasses properly
+def _config_from_dict(d: dict) -> Config:
+    return Config(
+        generator=GeneratorConfig(**d.get("generator", {})),
+        discriminator=DiscriminatorConfig(**d.get("discriminator", {})),
+        loss=LossConfig(**d.get("loss", {})),
+        optim=OptimConfig(**d.get("optim", {})),
+        data=DataConfig(**d.get("data", {})),
+        parallel=ParallelConfig(**d.get("parallel", {})),
+        train=TrainConfig(**d.get("train", {})),
+    )
+
+
+Config.from_dict = classmethod(lambda cls, d: _config_from_dict(d))  # type: ignore[assignment]
