@@ -1,0 +1,142 @@
+"""torch <-> tpu-vaegan weight interop.
+
+BASELINE.json requires output fidelity to the PyTorch reference image-for-image at
+fixed seeds. PyTorch's RNG streams (kaiming init, randn_like, dropout) cannot be
+reproduced with jax.random, so exact parity is achieved by *importing* torch-side
+tensors (SURVEY.md §7 hard-part 4): train or init the reference modules in torch,
+export ``state_dict()``, convert here, and the JAX forward matches to float tolerance.
+
+Layout conversions (torch -> ours):
+- Conv2d weight (O, I, KH, KW)          -> HWIO (KH, KW, I, O)
+- ConvTranspose2d weight (I, O, KH, KW) -> HWIO (KH, KW, I, O)
+- Linear weight (out, in)               -> (in, out)
+- the first linear after the critic's flatten additionally permutes its input rows
+  from torch's (C, H, W) flatten order to our NHWC (H, W, C) order
+- BatchNorm2d weight/bias/running_mean/running_var -> scale/bias + batch_stats
+- spectral_norm's weight_orig/weight_u/weight_v -> kernel + spectral {u, v}
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Optional, Tuple
+
+import numpy as np
+
+
+def conv_weight(w: np.ndarray) -> np.ndarray:
+    """(O, I, KH, KW) -> (KH, KW, I, O)."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def conv_transpose_weight(w: np.ndarray) -> np.ndarray:
+    """(I, O, KH, KW) -> (KH, KW, I, O)."""
+    return np.transpose(w, (2, 3, 0, 1))
+
+
+def linear_weight(w: np.ndarray, pool_shape: Optional[Tuple[int, int, int]] = None) -> np.ndarray:
+    """(out, in) -> (in, out). ``pool_shape=(C, H, W)`` permutes the input rows of a
+    linear that consumes a flattened conv map (torch flattens C,H,W; we flatten H,W,C).
+    """
+    if pool_shape is not None:
+        c, h, w_ = pool_shape
+        w = w.reshape(w.shape[0], c, h, w_).transpose(0, 2, 3, 1).reshape(w.shape[0], -1)
+    return np.ascontiguousarray(w.T)
+
+
+def _to_np(t) -> np.ndarray:
+    if isinstance(t, np.ndarray):
+        return np.copy(t)
+    # torch tensor without importing torch. Copy: .numpy() returns a VIEW of the
+    # torch buffer, and jnp.asarray on the CPU backend can alias that memory —
+    # a later in-place torch op (e.g. spectral norm's out= power iteration) would
+    # silently mutate the converted array.
+    return np.copy(t.detach().cpu().numpy())
+
+
+def _set(tree: Dict[str, Any], path: Tuple[str, ...], value: np.ndarray) -> None:
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def torch_state_dict_to_variables(
+    state_dict: Mapping[str, Any],
+    *,
+    name_map: Optional[Mapping[str, str]] = None,
+    first_linear: Optional[str] = None,
+    pool_shape: Optional[Tuple[int, int, int]] = None,
+) -> Dict[str, Any]:
+    """Convert a torch ``state_dict`` into flax-style variable collections.
+
+    torch module paths map onto our module names; dots become tree levels. The
+    reference uses ``Sequential`` shortcuts (``shortcut.0`` conv / ``shortcut.1``
+    BN, README.md:150-153) which map to our ``shortcut_conv`` / ``shortcut_bn``.
+
+    Args:
+        state_dict: torch name -> tensor.
+        name_map: optional exact-name rewrites applied before the generic rules.
+        first_linear: module path (ours) of the linear consuming the flattened conv
+            map, e.g. ``"linear_1"``; its weight gets the ``pool_shape`` row permute.
+        pool_shape: (C, H, W) of the tensor that was flattened into that linear.
+
+    Returns: ``{"params": ..., "batch_stats": ..., "spectral": ...}`` (collections
+    present only if non-empty).
+    """
+    params: Dict[str, Any] = {}
+    batch_stats: Dict[str, Any] = {}
+    spectral: Dict[str, Any] = {}
+
+    items = {}
+    for k, v in state_dict.items():
+        if name_map and k in name_map:
+            k = name_map[k]
+        k = k.replace("shortcut.0", "shortcut_conv").replace("shortcut.1", "shortcut_bn")
+        items[k] = _to_np(v)
+
+    for key, val in items.items():
+        path = tuple(key.split("."))
+        mod, leaf = path[:-1], path[-1]
+        if leaf == "num_batches_tracked":
+            continue
+        if leaf in ("weight", "weight_orig"):
+            if val.ndim == 4:
+                # conv or conv-transpose; distinguish by a sibling marker: torch
+                # convT weights are (I, O, KH, KW). We can't see the module type,
+                # so callers tag transposed convs by name ("upsample" in the
+                # reference) — handled here for the reference naming scheme.
+                if any("upsample" in p for p in path):
+                    _set(params, mod + ("kernel",), conv_transpose_weight(val))
+                else:
+                    _set(params, mod + ("kernel",), conv_weight(val))
+            elif val.ndim == 2:
+                ps = pool_shape if (first_linear and ".".join(mod).endswith(first_linear)) else None
+                _set(params, mod + ("kernel",), linear_weight(val, ps))
+            elif val.ndim == 1:  # BatchNorm weight
+                _set(params, mod + ("scale",), val)
+            else:
+                raise ValueError(f"unexpected weight rank for {key}: {val.shape}")
+        elif leaf == "bias":
+            _set(params, mod + ("bias",), val)
+        elif leaf == "running_mean":
+            _set(batch_stats, mod + ("mean",), val)
+        elif leaf == "running_var":
+            _set(batch_stats, mod + ("var",), val)
+        elif leaf == "weight_u":
+            _set(spectral, mod + ("u",), val)
+        elif leaf == "weight_v":
+            _set(spectral, mod + ("v",), val)
+        else:
+            raise ValueError(f"unhandled state_dict entry {key!r}")
+
+    # BN biases currently sit in params as {"bias"}, but BN scale went to "scale";
+    # disambiguate: a module with a "scale" key keeps its bias alongside (correct);
+    # nothing further to do — conv biases also live as {"bias"}.
+    out: Dict[str, Any] = {}
+    if params:
+        out["params"] = params
+    if batch_stats:
+        out["batch_stats"] = batch_stats
+    if spectral:
+        out["spectral"] = spectral
+    return out

@@ -104,12 +104,16 @@ class SpatialVAECodeProcessor(nn.Module):
         self.mu = Conv2D(self.feature_depth, 3, 1, 1, name="mu", **kw)
         self.log_var = Conv2D(self.feature_depth, 3, 1, 1, name="log_var", **kw)
 
-    def __call__(self, x: jax.Array, *, train: bool) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    def __call__(self, x: jax.Array, *, train: bool,
+                 eps: Optional[jax.Array] = None) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """``eps`` overrides the reparameterization noise (torch-parity harness:
+        inject torch-generated randn_like noise for image-for-image fidelity)."""
         log_var = jnp.clip(self.log_var(x), -self.logvar_bound, self.logvar_bound)
         mu = self.mu(x)
         if train:
-            eps = jax.random.normal(self.make_rng("noise"), mu.shape, mu.dtype)
-            z = mu + jnp.exp(jnp.asarray(0.5, log_var.dtype) * log_var) * eps
+            if eps is None:
+                eps = jax.random.normal(self.make_rng("noise"), mu.shape, mu.dtype)
+            z = mu + jnp.exp(jnp.asarray(0.5, log_var.dtype) * log_var) * eps.astype(mu.dtype)
         else:
             z = mu
         return z, mu, log_var
@@ -142,10 +146,10 @@ class UnsupervisedGeneratorNetwork(nn.Module):
             feature_depth=c.feature_depth, logvar_bound=c.logvar_bound,
             init_scheme=self.init_scheme, dtype=self.dtype, name="code_processor")
 
-    def __call__(self, x: jax.Array, *, train: bool):
+    def __call__(self, x: jax.Array, *, train: bool, eps: Optional[jax.Array] = None):
         h = self.encoder(x, train=train)
         if self.cfg.is_vae:
-            z, mu, log_var = self.code_processor(h, train=train)
+            z, mu, log_var = self.code_processor(h, train=train, eps=eps)
             recon = self.decoder(z, train=train)
             return recon, mu, log_var
         recon = self.decoder(h, train=train)
