@@ -1,0 +1,119 @@
+"""Data pipeline tests: NIfTI codec (python + C++ parity), loader semantics,
+device prefetch."""
+
+import numpy as np
+import pytest
+
+from vaegan_tpu.data import nifti
+from vaegan_tpu.data.pipeline import DataLoader, NiftiDataset, SyntheticDataset, device_prefetch
+
+
+@pytest.fixture(scope="module")
+def nii_dir(tmp_path_factory):
+    """Synthetic NIfTI fixture dir replacing the reference's Google-Drive zip
+    (SURVEY.md §4)."""
+    d = tmp_path_factory.mktemp("nii")
+    rng = np.random.default_rng(0)
+    for i in range(10):
+        img = rng.normal(size=(33, 29)).astype(np.float32) * 100 + 50
+        nifti.write_nifti(d / f"hand_{i:03d}.nii", img)
+    # one gzipped, one int16
+    nifti.write_nifti(d / "hand_gz.nii.gz", rng.normal(size=(33, 29)).astype(np.float32))
+    return d
+
+
+class TestCodec:
+    def test_roundtrip(self, tmp_path):
+        img = np.arange(12, dtype=np.float32).reshape(3, 4)
+        nifti.write_nifti(tmp_path / "a.nii", img)
+        back = nifti.read_nifti(tmp_path / "a.nii")
+        np.testing.assert_array_equal(back, img)
+
+    def test_gzip_roundtrip(self, tmp_path):
+        img = np.random.default_rng(1).normal(size=(5, 7)).astype(np.float32)
+        nifti.write_nifti(tmp_path / "a.nii.gz", img)
+        np.testing.assert_allclose(nifti.read_nifti(tmp_path / "a.nii.gz"), img, rtol=1e-6)
+
+    def test_load_image_normalizes_and_resizes(self, nii_dir):
+        out = nifti.load_image(nii_dir / "hand_000.nii", 96, use_native=False)
+        assert out.shape == (96, 96, 1)
+        assert out.min() >= 0.0 and out.max() <= 1.0 + 1e-6
+
+    @pytest.mark.skipif(not nifti.have_native(), reason="C++ decoder not built")
+    def test_native_matches_python(self, nii_dir):
+        for name in ("hand_000.nii", "hand_gz.nii.gz"):
+            py = nifti.load_image(nii_dir / name, 64, use_native=False)
+            cc = nifti.load_image(nii_dir / name, 64, use_native=True)
+            np.testing.assert_allclose(cc, py, rtol=1e-5, atol=1e-6)
+
+    @pytest.mark.skipif(not nifti.have_native(), reason="C++ decoder not built")
+    def test_native_batch(self, nii_dir):
+        ds = NiftiDataset(nii_dir, image_size=32)
+        batch = ds.load_batch([0, 1, 2])
+        assert batch.shape == (3, 32, 32, 1)
+        single = np.stack([ds[i] for i in range(3)])
+        np.testing.assert_allclose(batch, single, rtol=1e-5, atol=1e-6)
+
+    def test_native_error_path(self, tmp_path):
+        if not nifti.have_native():
+            pytest.skip("C++ decoder not built")
+        (tmp_path / "bogus.nii").write_bytes(b"not a nifti file at all" * 20)
+        with pytest.raises(ValueError, match="bogus"):
+            nifti.load_image(tmp_path / "bogus.nii", 32, use_native=True)
+
+    def test_resize_bilinear_identity(self):
+        img = np.random.default_rng(2).normal(size=(16, 16)).astype(np.float32)
+        np.testing.assert_array_equal(nifti.resize_bilinear(img, 16, 16), img)
+
+    def test_resize_matches_torch_interpolate(self):
+        torch = pytest.importorskip("torch")
+        img = np.random.default_rng(3).normal(size=(17, 23)).astype(np.float32)
+        ref = torch.nn.functional.interpolate(
+            torch.tensor(img)[None, None], size=(9, 11), mode="bilinear",
+            align_corners=False)[0, 0].numpy()
+        got = nifti.resize_bilinear(img, 9, 11)
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+class TestLoader:
+    def test_batching_drop_last_false(self, nii_dir):
+        ds = NiftiDataset(nii_dir, image_size=32)
+        dl = DataLoader(ds, batch_size=4, shuffle=False, drop_last=False, prefetch_batches=0)
+        batches = list(dl)
+        assert len(dl) == len(batches) == 3  # 11 files -> 4,4,3
+        assert batches[0].shape == (4, 32, 32, 1)
+        assert batches[-1].shape == (3, 32, 32, 1)
+
+    def test_shuffle_is_seeded_and_epoch_varying(self, nii_dir):
+        ds = SyntheticDataset(16, 8, seed=0)
+        a = list(DataLoader(ds, 4, shuffle=True, seed=7, prefetch_batches=0))
+        b = list(DataLoader(ds, 4, shuffle=True, seed=7, prefetch_batches=0))
+        np.testing.assert_array_equal(a[0], b[0])  # same seed, same order
+        dl = DataLoader(ds, 4, shuffle=True, seed=7, prefetch_batches=0)
+        e1 = list(dl)
+        e2 = list(dl)
+        assert not all(np.array_equal(x, y) for x, y in zip(e1, e2))  # epochs differ
+
+    def test_prefetch_thread_matches_sync(self, nii_dir):
+        ds = NiftiDataset(nii_dir, image_size=16)
+        sync = list(DataLoader(ds, 4, shuffle=False, prefetch_batches=0))
+        pre = list(DataLoader(ds, 4, shuffle=False, prefetch_batches=2))
+        for a, b in zip(sync, pre):
+            np.testing.assert_array_equal(a, b)
+
+    def test_prefetch_propagates_errors(self, tmp_path):
+        d = tmp_path / "nii"
+        d.mkdir()
+        (d / "bad.nii").write_bytes(b"garbage" * 100)
+        ds = NiftiDataset(d, image_size=16)
+        with pytest.raises(ValueError):
+            list(DataLoader(ds, 1, shuffle=False, prefetch_batches=2))
+
+    def test_device_prefetch(self):
+        import jax
+        ds = SyntheticDataset(12, 8, seed=0)
+        dl = DataLoader(ds, 4, shuffle=False, prefetch_batches=0)
+        out = list(device_prefetch(iter(dl), depth=2))
+        assert len(out) == 3
+        assert isinstance(out[0], jax.Array)
+        np.testing.assert_allclose(np.asarray(out[0]), ds.load_batch([0, 1, 2, 3]), rtol=1e-6)

@@ -1,0 +1,49 @@
+"""Checkpoint / resume — a capability the reference entirely lacks (it never saves
+weights; the trained generator only survives as an in-memory return value,
+README.md:935 / SURVEY.md §5).
+
+Orbax-based: saves the full TrainState pytree (params of both nets, BN stats,
+spectral (u, v), optimizer states, step counter) every N steps, keeps the last K,
+restores onto the current sharding.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from vaegan_tpu.train.state import TrainState
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True),
+        )
+
+    def save(self, state: TrainState, *, force: bool = False) -> None:
+        step = int(jax.device_get(state.step))
+        if step in (self._mgr.all_steps() or []):
+            return  # already persisted (e.g. periodic save landed on the final step)
+        self._mgr.save(step, args=ocp.args.StandardSave(state), force=force)
+
+    def restore(self, template: TrainState, step: Optional[int] = None) -> TrainState:
+        step = self._mgr.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {self.directory}")
+        return self._mgr.restore(step, args=ocp.args.StandardRestore(template))
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mgr.close()

@@ -1,0 +1,184 @@
+"""Host-side data pipeline feeding HBM-resident, sharded batches.
+
+The reference's pipeline is a single-process torch DataLoader (num_workers=0, no
+prefetch, README.md:96-99) whose NIfTI decode runs inline with the train loop. Here
+(BASELINE north star): decode runs in a host thread pool (the C++ batch decoder
+releases the GIL), batches are assembled as NHWC float32, and ``device_prefetch``
+keeps ``depth`` batches in flight to the device(s) with the caller's sharding —
+H2D copy overlaps the previous step's compute, so the TPU never waits on the host.
+
+``SyntheticDataset`` generates deterministic random "hand X-ray"-shaped data for
+benchmarks and tests (no files needed); batches can also be produced directly on
+device for pure step-time benchmarking.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import threading
+import queue
+from pathlib import Path
+from typing import Iterator, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from vaegan_tpu.config import DataConfig
+from vaegan_tpu.data import nifti
+
+
+class NiftiDataset:
+    """Directory of .nii / .nii.gz files -> normalized, resized (H, W, 1) images
+    (reference NiftyDataset, README.md:50-90, plus the documented-but-missing
+    resize)."""
+
+    def __init__(self, root_dir, image_size: int = 96, normalize: bool = True):
+        self.root_dir = Path(root_dir)
+        self.image_size = image_size
+        self.normalize = normalize
+        exts = (".nii", ".nii.gz", ".gz")
+        self.filenames = sorted(
+            f for f in os.listdir(self.root_dir)
+            if str(f).endswith(exts))
+        if not self.filenames:
+            raise FileNotFoundError(f"no NIfTI files under {self.root_dir}")
+
+    def __len__(self) -> int:
+        return len(self.filenames)
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        return nifti.load_image(self.root_dir / self.filenames[idx],
+                                self.image_size, self.normalize)
+
+    def load_batch(self, indices: Sequence[int]) -> np.ndarray:
+        """Decode a batch; uses the C++ multi-threaded batch decoder when built."""
+        lib = nifti._load_lib()
+        if lib is not None and hasattr(lib, "nifti_decode_batch"):
+            lib.nifti_decode_batch.restype = ctypes.c_int
+            n = len(indices)
+            out = np.empty((n, self.image_size, self.image_size), np.float32)
+            paths = [str(self.root_dir / self.filenames[i]).encode() for i in indices]
+            arr = (ctypes.c_char_p * n)(*paths)
+            rc = lib.nifti_decode_batch(
+                arr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                self.image_size, self.image_size, int(self.normalize), 0)
+            if rc != 0:
+                raise ValueError(f"batch decode failed: {lib.nifti_last_error().decode()}")
+            return out[..., None]
+        return np.stack([self[i] for i in indices])
+
+
+class SyntheticDataset:
+    """Deterministic synthetic images in [0, 1] shaped like the hand X-rays."""
+
+    def __init__(self, size: int = 1200, image_size: int = 96, seed: int = 0):
+        self.size = size
+        self.image_size = image_size
+        self._rng = np.random.default_rng(seed)
+        # smooth blobby images: low-freq random fields, minmax-normalized
+        base = self._rng.normal(size=(size, 12, 12)).astype(np.float32)
+        self._low = base
+
+    def __len__(self) -> int:
+        return self.size
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        img = nifti.resize_bilinear(self._low[idx], self.image_size, self.image_size)
+        lo, hi = img.min(), img.max()
+        return ((img - lo) / max(hi - lo, 1e-12))[..., None]
+
+    def load_batch(self, indices: Sequence[int]) -> np.ndarray:
+        return np.stack([self[i] for i in indices])
+
+
+class DataLoader:
+    """Shuffled, batched, background-prefetched host iterator.
+
+    Mirrors torch ``DataLoader(dataset, shuffle=True, batch_size=4,
+    drop_last=False)`` (README.md:99) with a decode-ahead thread.
+    """
+
+    def __init__(self, dataset, batch_size: int = 4, shuffle: bool = True,
+                 drop_last: bool = False, seed: int = 0, prefetch_batches: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.prefetch_batches = prefetch_batches
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _epoch_indices(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(idx)
+        return idx
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        idx = self._epoch_indices()
+        n = len(idx)
+        stops = range(0, n - self.batch_size + 1, self.batch_size) if self.drop_last \
+            else range(0, n, self.batch_size)
+        slices = [idx[s: s + self.batch_size] for s in stops]
+        if self.prefetch_batches <= 0:
+            for sl in slices:
+                yield self.dataset.load_batch(sl)
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
+        sentinel = object()
+        err: List[BaseException] = []
+
+        def producer():
+            try:
+                for sl in slices:
+                    q.put(self.dataset.load_batch(sl))
+            except BaseException as e:  # surfaced on the consumer side
+                err.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()
+        if err:
+            raise err[0]
+
+
+def device_prefetch(iterator: Iterator[np.ndarray], sharding=None,
+                    depth: int = 2) -> Iterator[jax.Array]:
+    """Asynchronously stage host batches into HBM ``depth`` ahead of consumption.
+
+    ``jax.device_put`` is async; holding ``depth`` un-consumed device batches lets
+    the H2D DMA overlap the previous step's compute.
+    """
+    from collections import deque
+
+    buf: "deque[jax.Array]" = deque()
+    for host_batch in iterator:
+        buf.append(jax.device_put(host_batch, sharding))
+        if len(buf) > depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
+def make_dataset(cfg: DataConfig):
+    if cfg.synthetic:
+        return SyntheticDataset(cfg.synthetic_size, cfg.image_size)
+    return NiftiDataset(cfg.root_dir, cfg.image_size)
+
+
+def make_loader(cfg: DataConfig, seed: int = 0) -> DataLoader:
+    return DataLoader(make_dataset(cfg), batch_size=cfg.batch_size,
+                      shuffle=cfg.shuffle, drop_last=cfg.drop_last, seed=seed,
+                      prefetch_batches=cfg.prefetch)

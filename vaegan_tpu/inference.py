@@ -1,0 +1,97 @@
+"""Inference / evaluation API.
+
+- ``reconstruct``: eval-mode encode->decode + per-batch MSE, the reference's only
+  quantitative metric (``visualize_reconstructions``, README.md:1215-1256).
+- ``sample``: decoder-only generation from z ~ N(0, I) spatial latents — the
+  BASELINE config-4 path the reference never implements (its "generate samples"
+  cell just reruns reconstruction, README.md:1340-1346).
+- ``interpolate``: latent interpolation between two image batches over the
+  ``encode()`` means.
+
+All functions are jitted per (shape, config) and run eval-mode semantics: BN running
+stats, dropout off, deterministic z = mu (README.md:1217-1218).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vaegan_tpu.config import Config
+from vaegan_tpu.train.state import TrainState, build_models
+
+
+def _gen_vars(state: TrainState):
+    return {"params": state.g_params, "batch_stats": state.g_stats}
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _reconstruct(cfg: Config, state: TrainState, batch: jax.Array):
+    gen, _ = build_models(cfg)
+    out = gen.apply(_gen_vars(state), batch, train=False)
+    recon = out[0] if cfg.generator.is_vae else out
+    mse = jnp.mean(jnp.square(recon.astype(jnp.float32) - batch.astype(jnp.float32)))
+    return recon, mse
+
+
+def reconstruct(cfg: Config, state: TrainState, batch: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Returns (reconstructions, scalar MSE) — the README.md:1235 metric."""
+    return _reconstruct(cfg, state, batch)
+
+
+def latent_shape(cfg: Config, image_size: Optional[int] = None) -> Tuple[int, int, int]:
+    """Spatial latent (H', W', C') for the configured resolution: the encoder
+    divides by 2**depth; channels = feature_depth."""
+    s = image_size or cfg.data.image_size
+    f = 2 ** cfg.generator.depth
+    return (s // f, s // f, cfg.generator.feature_depth)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+def _sample(cfg: Config, state: TrainState, n: int, image_size: int, key: jax.Array):
+    gen, _ = build_models(cfg)
+    h, w, c = latent_shape(cfg, image_size)
+    z = jax.random.normal(key, (n, h, w, c), jnp.float32)
+    return gen.apply(_gen_vars(state), z, train=False, method=gen.decode)
+
+
+def sample(cfg: Config, state: TrainState, key: jax.Array, n: int = 25,
+           image_size: Optional[int] = None) -> jax.Array:
+    """Decode n prior samples z ~ N(0, I) into images."""
+    return _sample(cfg, state, n, image_size or cfg.data.image_size, key)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _interpolate(cfg: Config, state: TrainState, pair: Tuple[jax.Array, jax.Array], steps: int):
+    gen, _ = build_models(cfg)
+    x1, x2 = pair
+    z1 = gen.apply(_gen_vars(state), x1, train=False, method=gen.encode)
+    z2 = gen.apply(_gen_vars(state), x2, train=False, method=gen.encode)
+    ts = jnp.linspace(0.0, 1.0, steps).reshape(steps, 1, 1, 1, 1)
+    zs = (1.0 - ts) * z1[None] + ts * z2[None]          # (steps, B, h, w, c)
+    flat = zs.reshape((-1,) + z1.shape[1:])
+    imgs = gen.apply(_gen_vars(state), flat, train=False, method=gen.decode)
+    return imgs.reshape((steps,) + x1.shape)
+
+
+def interpolate(cfg: Config, state: TrainState, x1: jax.Array, x2: jax.Array,
+                steps: int = 8) -> jax.Array:
+    """Linear interpolation in latent space between encode(x1) and encode(x2);
+    returns (steps, B, H, W, C) decoded images."""
+    return _interpolate(cfg, state, (x1, x2), steps)
+
+
+def evaluate_mse(cfg: Config, state: TrainState, loader, num_batches: int = 1) -> float:
+    """Reference eval protocol: MSE over ``num_batches`` loader batches
+    (README.md:1219-1235 uses exactly one)."""
+    total, n = 0.0, 0
+    for i, batch in enumerate(loader):
+        if i >= num_batches:
+            break
+        _, mse = reconstruct(cfg, state, jnp.asarray(batch))
+        total += float(mse)
+        n += 1
+    return total / max(n, 1)

@@ -97,8 +97,19 @@ def conv_transpose2d(
 def avg_pool(x: jax.Array, window: int, stride: Optional[int] = None) -> jax.Array:
     """Average pooling matching ``torch.nn.functional.avg_pool2d(x, window)``:
     VALID padding (floors odd sizes), stride defaults to the window size
-    (reference README.md:471 uses window 4)."""
+    (reference README.md:471 uses window 4).
+
+    For the common stride == window case this lowers as crop + reshape + mean,
+    which XLA:TPU fuses into a single VPU pass and differentiates cleanly
+    (``lax.reduce_window`` with a generic computation has no reverse-mode rule).
+    """
     stride = window if stride is None else stride
+    n, h, w, c = x.shape
+    if stride == window:
+        oh, ow = h // window, w // window
+        x = x[:, : oh * window, : ow * window, :]
+        x = x.reshape(n, oh, window, ow, window, c)
+        return jnp.mean(x, axis=(2, 4))
     summed = lax.reduce_window(
         x,
         jnp.zeros((), x.dtype),

@@ -1,0 +1,122 @@
+"""Training loop (reference ``train_network_wgan``, README.md:742-857).
+
+Event-order faithful to the reference:
+- the inference-image folder is wiped at start (README.md:765-766);
+- D updates every batch; G every ``n_critics``-th batch of each epoch (``i``
+  resets per epoch, README.md:812);
+- a 5x5 sample grid of the step's generated images is written every
+  ``sample_interval`` batches (README.md:851-854) — regenerated from the
+  pre-update params with the step's own rng key, so the PNG matches what that
+  step's G half saw, without adding a per-step device->host transfer;
+- per-batch metric lines via MetricsLogger (async; no per-step sync).
+
+TPU-first differences: the step is jitted once per (do_g_update) variant with donated
+state; batches stream through the device-prefetch pipeline; checkpoints (orbax)
+every N steps — a capability the reference lacks.
+"""
+
+from __future__ import annotations
+
+import shutil
+import time
+from pathlib import Path
+from typing import Any, Callable, Iterable, Optional, Tuple
+
+import jax
+
+from vaegan_tpu.config import Config
+from vaegan_tpu.data.pipeline import device_prefetch, make_loader
+from vaegan_tpu.train.state import TrainState, build_models, create_train_state
+from vaegan_tpu.train.step import make_paper_train_step, make_train_step
+from vaegan_tpu.utils.metrics import MetricsLogger
+
+
+def make_sampler(cfg: Config) -> Callable:
+    """jitted fn regenerating a step's gen_imgs (same rngs as the train step)."""
+    gen, _ = build_models(cfg)
+
+    @jax.jit
+    def sample(state: TrainState, batch, key):
+        k_gdrop, k_gnoise = jax.random.split(key, 7)[:2]  # same split as the step
+        out = gen.apply(
+            {"params": state.g_params, "batch_stats": state.g_stats},
+            batch, train=True, rngs={"dropout": k_gdrop, "noise": k_gnoise},
+            mutable=["batch_stats"])[0]
+        return out[0] if cfg.generator.is_vae else out
+
+    return sample
+
+
+def train(
+    cfg: Config,
+    loader: Optional[Iterable] = None,
+    state: Optional[TrainState] = None,
+    logger: Optional[MetricsLogger] = None,
+    sharding: Optional[Any] = None,
+    step_fns: Optional[Tuple[Callable, Callable]] = None,
+) -> Tuple[TrainState, MetricsLogger]:
+    """Run ``cfg.train.n_epochs`` of training; returns (final_state, logger).
+
+    ``sharding``: optional jax.sharding.NamedSharding for batches (data parallel);
+    ``step_fns``: optional (step_with_g, step_d_only) overrides (used by the
+    parallel module to supply pjit-compiled steps).
+    """
+    tcfg = cfg.train
+    key = jax.random.key(tcfg.seed)
+    if loader is None:
+        loader = make_loader(cfg.data, seed=tcfg.seed)
+    if state is None:
+        state = create_train_state(cfg, key)
+    if logger is None:
+        logger = MetricsLogger(flush_every=tcfg.log_every)
+
+    sample_dir = Path(tcfg.sample_dir)
+    shutil.rmtree(sample_dir, ignore_errors=True)  # README.md:765
+    sample_dir.mkdir(parents=True, exist_ok=True)
+    sampler = make_sampler(cfg)
+
+    if step_fns is not None:
+        step_g, step_d = step_fns
+    elif cfg.optim.scheme == "three":
+        step_g = step_d = jax.jit(make_paper_train_step(cfg), donate_argnums=0)
+    else:
+        step_g = jax.jit(make_train_step(cfg, do_g_update=True), donate_argnums=0)
+        step_d = jax.jit(make_train_step(cfg, do_g_update=False), donate_argnums=0)
+
+    ckpt = None
+    if tcfg.checkpoint_dir:
+        from vaegan_tpu.checkpoint import CheckpointManager
+        ckpt = CheckpointManager(tcfg.checkpoint_dir)
+
+    n_batches = len(loader) if hasattr(loader, "__len__") else -1
+    global_step = 0
+    t0 = time.time()
+    for epoch in range(tcfg.n_epochs):
+        it = device_prefetch(iter(loader), sharding, depth=cfg.data.prefetch)
+        for i, batch in enumerate(it):
+            step_key = jax.random.fold_in(key, global_step)
+            do_g = (i % tcfg.n_critics) == 0  # README.md:812
+            batches_done = epoch * max(n_batches, 1) + i
+            # regenerate this step's gen_imgs BEFORE the step (the step donates
+            # its input state buffers)
+            sample_imgs = (sampler(state, batch, step_key)
+                           if batches_done % tcfg.sample_interval == 0 else None)
+            step = step_g if do_g else step_d
+            state, metrics = step(state, batch, step_key)
+            logger.log(epoch, tcfg.n_epochs, i, n_batches, metrics)
+
+            if sample_imgs is not None:
+                from vaegan_tpu.utils.imaging import save_image_grid
+                save_image_grid(jax.device_get(sample_imgs[:25]),
+                                str(sample_dir / f"{batches_done}.png"), nrow=5)
+            if ckpt is not None and (global_step + 1) % tcfg.checkpoint_every == 0:
+                ckpt.save(state)
+            global_step += 1
+
+    logger.flush()
+    if ckpt is not None:
+        ckpt.save(state, force=True)
+        ckpt.wait()
+    elapsed = time.time() - t0
+    logger.history.append({"_wall_s": elapsed, "_steps": global_step})
+    return state, logger

@@ -1,0 +1,288 @@
+"""Jitted train steps.
+
+``make_train_step`` reproduces the reference's per-batch procedure
+(README.md:775-834) as one pure function, with the reference's exact event order:
+
+D half (every step):
+  1. one generator forward (train mode) producing gen_imgs             README.md:789
+  2. critic on real, on detached fakes, gradient penalty on the
+     interpolates (each forward updates BN stats + spectral u/v,
+     exactly like torch train-mode forwards)                           README.md:792-798
+  3. RMSprop update + clamp of ALL critic params to ±clip_value
+     (the reference clamps on top of GP — a quirk, kept as default)    README.md:802-806
+
+G half (every ``n_critics``-th step — a *static* choice, so each variant jits to a
+lean graph with no dead branches):
+  4. the SAME gen_imgs (same dropout/reparam keys -> bitwise-identical
+     recompute, differentiable w.r.t. G) scored by the UPDATED critic  README.md:812-816
+  5. g_loss = w_adv * adv + w_rec * (L1+MSE) + w_kl * KL(sum)          README.md:818-831
+
+On critic-only steps the returned G metrics are the previous step's (the reference
+prints stale closure values, README.md:837).
+
+``make_paper_train_step`` is the Larsen et al. Algorithm-1 three-optimizer step
+(BASELINE config 3), which the notebook never implements: BCE GAN loss over
+{real, reconstruction, prior sample}, Dis_l feature-matching reconstruction, and
+per-network (enc / dec / dis) gradients of their respective losses.
+
+No per-step host sync anywhere: metrics stay on-device; the loop decides when to
+fetch (the reference's seven ``.item()`` calls per batch were its throughput killer,
+SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from vaegan_tpu import losses
+from vaegan_tpu.config import Config
+from vaegan_tpu.train.optim import build_optimizer
+from vaegan_tpu.train.state import TrainState, build_models
+
+Metrics = Dict[str, jax.Array]
+
+
+def _clip_params(params, clip):
+    return jax.tree.map(lambda p: jnp.clip(p, -clip, clip), params)
+
+
+def make_train_step(cfg: Config, do_g_update: bool, axis_name=None) -> Callable:
+    """Two-optimizer step (the notebook's scheme). Returns
+    ``step(state, batch, key) -> (state, metrics)``; wrap in jit/pjit yourself or use
+    vaegan_tpu.parallel.make_parallel_step.
+    """
+    gen, disc = build_models(cfg, axis_name)
+    tx_g = build_optimizer(cfg.optim)
+    tx_d = build_optimizer(cfg.optim)
+    lcfg = cfg.loss
+    use_gp = lcfg.adversarial == "wgan" and lcfg.lambda_gp > 0.0
+
+    def step(state: TrainState, batch: jax.Array, key: jax.Array) -> Tuple[TrainState, Metrics]:
+        k_gdrop, k_gnoise, k_dreal, k_dfake, k_dinterp, k_alpha, k_dgen = jax.random.split(key, 7)
+        g_rngs = {"dropout": k_gdrop, "noise": k_gnoise}
+
+        # ---- generator forward, once (README.md:789) -------------------------
+        gvars = {"params": state.g_params, "batch_stats": state.g_stats}
+        (gen_imgs, mu, log_var), g_mut = gen.apply(
+            gvars, batch, train=True, rngs=g_rngs, mutable=["batch_stats"])
+        new_g_stats = g_mut["batch_stats"]
+        gen_imgs_sg = jax.lax.stop_gradient(gen_imgs)
+
+        # ---- discriminator half ---------------------------------------------
+        def d_loss_fn(d_params):
+            dstate = {"batch_stats": state.d_stats, "spectral": state.d_spectral}
+
+            def d_apply(x, st, k):
+                logits, mut = disc.apply(
+                    {"params": d_params, **st}, x, train=True,
+                    rngs={"dropout": k}, mutable=["batch_stats", "spectral"])
+                return logits, {"batch_stats": mut["batch_stats"], "spectral": mut["spectral"]}
+
+            real_logits, st = d_apply(batch, dstate, k_dreal)
+            fake_logits, st = d_apply(gen_imgs_sg, st, k_dfake)
+
+            if lcfg.adversarial == "bce":
+                real_loss = losses.bce_with_logits(real_logits, 1.0)
+                fake_loss = losses.bce_with_logits(fake_logits, 0.0)
+            else:  # wgan (also covers "none": D still trains, unused by G — README.md:1283)
+                real_loss, fake_loss = losses.wgan_critic_loss(real_logits, fake_logits)
+
+            if use_gp:
+                gp, st = losses.gradient_penalty(
+                    lambda x, st=st: d_apply(x, st, k_dinterp),
+                    batch, gen_imgs_sg, k_alpha)
+            else:
+                gp = jnp.zeros((), jnp.float32)
+            d_loss = real_loss + fake_loss + lcfg.lambda_gp * gp
+            return d_loss, (st, real_loss, fake_loss, gp)
+
+        (d_loss, (d_st, real_loss, fake_loss, gp)), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(state.d_params)
+        if axis_name is not None:
+            d_grads = jax.lax.pmean(d_grads, axis_name)
+        d_updates, new_opt_d = tx_d.update(d_grads, state.opt_d, state.d_params)
+        new_d_params = optax.apply_updates(state.d_params, d_updates)
+        if lcfg.clip_value is not None:
+            new_d_params = _clip_params(new_d_params, lcfg.clip_value)  # README.md:805
+
+        new_d_stats, new_d_spectral = d_st["batch_stats"], d_st["spectral"]
+        new_g_params, new_opt_g, g_metrics = state.g_params, state.opt_g, state.g_metrics
+
+        # ---- generator half (README.md:812-834) ------------------------------
+        if do_g_update:
+            def g_loss_fn(g_params):
+                # identical rng keys -> bitwise-identical recompute of gen_imgs,
+                # now differentiable w.r.t. g_params (the reference reuses the
+                # same tensor with its autograd graph intact)
+                (g_imgs, mu2, lv2), _ = gen.apply(
+                    {"params": g_params, "batch_stats": state.g_stats},
+                    batch, train=True, rngs=g_rngs, mutable=["batch_stats"])
+                want_feats = lcfg.reconstruction == "dis_l"
+                no_adv = lcfg.adversarial == "none" or lcfg.adversarial_weight == 0.0
+                if no_adv and not want_feats:
+                    adv = jnp.zeros((), jnp.float32)
+                    d_mut2 = {"batch_stats": new_d_stats, "spectral": new_d_spectral}
+                else:
+                    out, mut = disc.apply(
+                        {"params": new_d_params, "batch_stats": new_d_stats,
+                         "spectral": new_d_spectral},
+                        g_imgs, train=True, rngs={"dropout": k_dgen},
+                        mutable=["batch_stats", "spectral"],
+                        return_features=want_feats)
+                    logits, feats = out if want_feats else (out, None)
+                    d_mut2 = {"batch_stats": mut["batch_stats"], "spectral": mut["spectral"]}
+                    if no_adv:
+                        adv = jnp.zeros((), jnp.float32)
+                    elif lcfg.adversarial == "bce":
+                        adv = losses.bce_with_logits(logits, 1.0)
+                    else:
+                        adv = losses.wgan_generator_loss(logits)
+                if want_feats:
+                    (_, real_feats), _ = disc.apply(
+                        {"params": new_d_params, **d_mut2}, batch, train=True,
+                        rngs={"dropout": k_dreal}, mutable=["batch_stats", "spectral"],
+                        return_features=True)
+                    recon = losses.feature_matching_loss(
+                        jax.lax.stop_gradient(real_feats), feats)
+                else:
+                    recon = losses.pixel_reconstruction_loss(g_imgs, batch)
+                kl = losses.kl_divergence(mu2, lv2, lcfg.kl_reduction)
+                g_loss = (lcfg.adversarial_weight * adv
+                          + lcfg.reconstruction_weight * recon
+                          + lcfg.kl_weight * kl)
+                return g_loss, (d_mut2, adv, recon, kl)
+
+            (g_loss, (d_mut2, adv, recon, kl)), g_grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True)(state.g_params)
+            if axis_name is not None:
+                g_grads = jax.lax.pmean(g_grads, axis_name)
+            g_updates, new_opt_g = tx_g.update(g_grads, state.opt_g, state.g_params)
+            new_g_params = optax.apply_updates(state.g_params, g_updates)
+            new_d_stats, new_d_spectral = d_mut2["batch_stats"], d_mut2["spectral"]
+            g_metrics = {"g_loss": g_loss, "adv_loss": adv, "recon_loss": recon, "kl": kl}
+
+        metrics = {
+            "d_loss": d_loss, "d_real_loss": real_loss, "d_fake_loss": fake_loss,
+            "gp": gp, **g_metrics,
+        }
+        new_state = state.replace(
+            step=state.step + 1,
+            g_params=new_g_params, d_params=new_d_params,
+            g_stats=new_g_stats, d_stats=new_d_stats, d_spectral=new_d_spectral,
+            opt_g=new_opt_g, opt_d=new_opt_d, g_metrics=g_metrics,
+        )
+        return new_state, metrics
+
+    return step
+
+
+def make_paper_train_step(cfg: Config, axis_name=None) -> Callable:
+    """Larsen et al. Algorithm 1 (three optimizers, BASELINE config 3).
+
+    L_prior  = KL(q(z|x) || N(0, I))                 (mean-per-sample reduction)
+    L_llike  = MSE in the critic's Dis_l feature space between x and x~
+    L_GAN    = BCE[D(x), 1] + BCE[D(x~), 0] + BCE[D(x_p), 0],  x_p = Dec(z_p~N(0,I))
+
+    theta_Enc <- grad (L_prior + L_llike)
+    theta_Dec <- grad (gamma * L_llike - L_GAN)
+    theta_Dis <- grad (L_GAN)
+
+    Implemented as three grads inside one jit — XLA CSEs the shared forwards.
+    """
+    gen, disc = build_models(cfg, axis_name)
+    tx = build_optimizer(cfg.optim)
+    lcfg, gamma = cfg.loss, cfg.optim.gamma
+
+    def split_g(params):
+        enc = {k: params[k] for k in ("encoder", "code_processor")}
+        dec = {k: params[k] for k in ("decoder",)}
+        return enc, dec
+
+    def merge_g(enc, dec):
+        return {**enc, **dec}
+
+    def step(state: TrainState, batch: jax.Array, key: jax.Array) -> Tuple[TrainState, Metrics]:
+        k_gdrop, k_gnoise, k_prior, k_dr, k_df, k_dp = jax.random.split(key, 6)
+        g_rngs = {"dropout": k_gdrop, "noise": k_gnoise}
+        enc0, dec0 = split_g(state.g_params)
+
+        def forward(enc_p, dec_p, d_p):
+            g_params = merge_g(enc_p, dec_p)
+            (x_tilde, mu, lv), g_mut = gen.apply(
+                {"params": g_params, "batch_stats": state.g_stats},
+                batch, train=True, rngs=g_rngs, mutable=["batch_stats"])
+            z_p = jax.random.normal(k_prior, mu.shape, mu.dtype)
+            x_p = gen.apply(
+                {"params": g_params, "batch_stats": state.g_stats},
+                z_p, train=True, rngs=g_rngs, mutable=["batch_stats"],
+                method=gen.decode)[0]
+
+            dstate = {"batch_stats": state.d_stats, "spectral": state.d_spectral}
+
+            def d_apply(x, st, k):
+                (logits, feats), mut = disc.apply(
+                    {"params": d_p, **st}, x, train=True, rngs={"dropout": k},
+                    mutable=["batch_stats", "spectral"], return_features=True)
+                return logits, feats, {"batch_stats": mut["batch_stats"],
+                                       "spectral": mut["spectral"]}
+
+            lr_, fr_, st = d_apply(batch, dstate, k_dr)
+            lt_, ft_, st = d_apply(x_tilde, st, k_df)
+            lp_, _, st = d_apply(x_p, st, k_dp)
+
+            l_prior = losses.kl_divergence(mu, lv, lcfg.kl_reduction)
+            l_llike = losses.feature_matching_loss(fr_, ft_)
+            l_gan = (losses.bce_with_logits(lr_, 1.0)
+                     + losses.bce_with_logits(lt_, 0.0)
+                     + losses.bce_with_logits(lp_, 0.0))
+            aux = (g_mut["batch_stats"], st, l_prior, l_llike, l_gan)
+            return l_prior, l_llike, l_gan, aux
+
+        def enc_loss(enc_p):
+            l_prior, l_llike, _, aux = forward(enc_p, dec0, state.d_params)
+            return lcfg.kl_weight * l_prior + lcfg.reconstruction_weight * l_llike, aux
+
+        def dec_loss(dec_p):
+            _, l_llike, l_gan, aux = forward(enc0, dec_p, state.d_params)
+            return gamma * lcfg.reconstruction_weight * l_llike - lcfg.adversarial_weight * l_gan, aux
+
+        def dis_loss(d_p):
+            _, _, l_gan, aux = forward(enc0, dec0, d_p)
+            return lcfg.adversarial_weight * l_gan, aux
+
+        (enc_l, aux), enc_g = jax.value_and_grad(enc_loss, has_aux=True)(enc0)
+        (dec_l, _), dec_g = jax.value_and_grad(dec_loss, has_aux=True)(dec0)
+        (dis_l, _), dis_g = jax.value_and_grad(dis_loss, has_aux=True)(state.d_params)
+        if axis_name is not None:
+            enc_g, dec_g, dis_g = jax.lax.pmean((enc_g, dec_g, dis_g), axis_name)
+
+        new_g_stats, d_st, l_prior, l_llike, l_gan = aux
+        enc_up, opt_enc = tx.update(enc_g, state.opt_g["enc"], enc0)
+        dec_up, opt_dec = tx.update(dec_g, state.opt_g["dec"], dec0)
+        dis_up, opt_d = tx.update(dis_g, state.opt_d, state.d_params)
+        new_enc = optax.apply_updates(enc0, enc_up)
+        new_dec = optax.apply_updates(dec0, dec_up)
+        new_d = optax.apply_updates(state.d_params, dis_up)
+        if lcfg.clip_value is not None:
+            new_d = _clip_params(new_d, lcfg.clip_value)
+
+        g_metrics = {"g_loss": enc_l + dec_l, "adv_loss": l_gan,
+                     "recon_loss": l_llike, "kl": l_prior}
+        metrics = {"d_loss": dis_l, "d_real_loss": l_gan, "d_fake_loss": l_gan,
+                   "gp": jnp.zeros((), jnp.float32), **g_metrics}
+        new_state = state.replace(
+            step=state.step + 1,
+            g_params=merge_g(new_enc, new_dec), d_params=new_d,
+            g_stats=new_g_stats,
+            d_stats=d_st["batch_stats"], d_spectral=d_st["spectral"],
+            opt_g={"enc": opt_enc, "dec": opt_dec}, opt_d=opt_d,
+            g_metrics=g_metrics,
+        )
+        return new_state, metrics
+
+    return step
