@@ -1,0 +1,133 @@
+"""CLI + hyperparameter-search subsystem tests (tiny synthetic configs)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from vaegan_tpu.config import Config, DiscriminatorConfig, GeneratorConfig
+from vaegan_tpu import search as S
+
+
+def tiny_base(tmp_path) -> Config:
+    base = Config()
+    return base.replace(
+        data=base.data.replace(image_size=16, batch_size=4, synthetic=True,
+                               synthetic_size=8),
+        train=base.train.replace(n_epochs=1, sample_interval=1,
+                                 sample_dir=str(tmp_path / "samples")),
+    )
+
+
+class TestSearchHelpers:
+    def test_check_ascending(self):
+        assert S.check_ascending([1, 2, 2, 3])
+        assert not S.check_ascending([2, 1])
+
+    def test_make_random_params_valid_and_seeded(self):
+        rng1 = np.random.default_rng(0)
+        rng2 = np.random.default_rng(0)
+        p1 = S.make_random_params(rng1)
+        p2 = S.make_random_params(rng2)
+        assert p1 == p2
+        assert S.is_valid(p1)
+
+    def test_registry_dedup(self, tmp_path):
+        path = tmp_path / "params.json"
+        params = {"a": 1, "num_blocks": [1]}
+        assert not S.check_already_done(params, path)
+        S.register_in_json({"id": "x", "params": params}, path)
+        assert S.check_already_done(params, path)
+        assert len(json.load(open(path))) == 1
+
+    def test_params_to_config(self):
+        rng = np.random.default_rng(1)
+        p = S.make_random_params(rng)
+        cfg = S.params_to_config(Config(), p)
+        assert cfg.generator.depth == p["network_depth"]
+        assert list(cfg.discriminator.num_features_res) == p["num_features_res"]
+        assert cfg.optim.lr == p["lr"]
+
+
+class TestRandomSearchRun:
+    def test_one_trial_end_to_end(self, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        base = tiny_base(tmp_path)
+        # shrink the space so the trial is fast on CPU
+        monkeypatch.setattr(S, "SEARCH_SPACE", {
+            **S.SEARCH_SPACE,
+            "network_depth": [1], "network_length": [1], "feature_size": [8],
+            "num_features_conv1": [8],
+            "num_blocks": [[1]], "num_strides_res": [[2]], "num_features_res": [[16]],
+            "n_critics": [1],
+        })
+        entries = S.random_search(base, n_trials=1,
+                                  results_path=str(tmp_path / "r/params.json"),
+                                  archive_dir=str(tmp_path / "r/archive"), seed=0)
+        assert len(entries) == 1
+        e = entries[0]
+        assert e["status"] == "ok", e
+        assert np.isfinite(e["recon_mse"])
+        # archived sample exists under the UUID
+        assert (tmp_path / "r" / "archive" / f"{e['id']}.png").exists()
+        # registry written, dedup active
+        assert S.check_already_done(e["params"], tmp_path / "r/params.json")
+
+    def test_failed_trial_is_recorded(self, tmp_path, monkeypatch):
+        base = tiny_base(tmp_path)
+        monkeypatch.setattr(S, "params_to_config",
+                            lambda *a, **k: (_ for _ in ()).throw(RuntimeError("boom")))
+        entries = S.random_search(base, n_trials=1,
+                                  results_path=str(tmp_path / "r2/params.json"),
+                                  archive_dir=str(tmp_path / "r2/archive"), seed=0)
+        assert entries[0]["status"] == "failed"
+        assert "boom" in entries[0]["error"]
+
+
+class TestCli:
+    def test_print_config(self, capsys):
+        from vaegan_tpu.cli import main
+        assert main(["print-config", "--preset", "vaegan_paper"]) == 0
+        out = capsys.readouterr().out
+        cfg = json.loads(out)
+        assert cfg["optim"]["scheme"] == "three"
+        assert cfg["loss"]["reconstruction"] == "dis_l"
+
+    def test_train_and_eval_roundtrip(self, tmp_path, capsys, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        from vaegan_tpu.cli import main
+        cfg = tiny_base(tmp_path).replace(
+            generator=GeneratorConfig(depth=1, length=1, feature_size=8),
+            discriminator=DiscriminatorConfig(
+                num_stride_conv1=1, num_features_conv1=8, num_blocks=(1,),
+                num_strides_res=(2,), num_features_res=(16,), pool_size=2,
+                linear_widths=(16, 8, 8)))
+        cfg.to_json(str(tmp_path / "cfg.json"))
+        rc = main(["train", "--config", str(tmp_path / "cfg.json"),
+                   "--checkpoint", str(tmp_path / "ckpt"),
+                   "--metrics-jsonl", str(tmp_path / "m.jsonl")])
+        assert rc == 0
+        assert (tmp_path / "m.jsonl").exists()
+        rc = main(["eval", "--config", str(tmp_path / "cfg.json"),
+                   "--checkpoint", str(tmp_path / "ckpt")])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "Mean squared error" in out
+
+    def test_sample_command(self, tmp_path, capsys, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        from vaegan_tpu.cli import main
+        cfg = tiny_base(tmp_path).replace(
+            generator=GeneratorConfig(depth=1, length=1, feature_size=8),
+            discriminator=DiscriminatorConfig(
+                num_stride_conv1=1, num_features_conv1=8, num_blocks=(1,),
+                num_strides_res=(2,), num_features_res=(16,), pool_size=2,
+                linear_widths=(16, 8, 8)))
+        cfg.to_json(str(tmp_path / "cfg.json"))
+        main(["train", "--config", str(tmp_path / "cfg.json"),
+              "--checkpoint", str(tmp_path / "ckpt")])
+        rc = main(["sample", "--config", str(tmp_path / "cfg.json"),
+                   "--checkpoint", str(tmp_path / "ckpt"),
+                   "-n", "4", "-o", str(tmp_path / "s.png")])
+        assert rc == 0
+        assert (tmp_path / "s.png").exists()

@@ -134,3 +134,61 @@ class TestExperimentApi:
             n_epochs=1, image_size=16, batch_size=4, synthetic_data=True,
             adversarial_loss_weight=0.0)
         assert int(jax.device_get(state.step)) > 0
+
+
+class TestResume:
+    def test_resume_continues_from_checkpoint(self, tmp_path):
+        cfg = tiny_cfg(tmp_path, checkpoint_dir=str(tmp_path / "ck"), checkpoint_every=2)
+        # first run: full epoch (4 steps), checkpoints at 2 and 4
+        state1, _ = train(cfg)
+        # second run with 2 epochs total, resuming: fast-forwards past step 4
+        cfg2 = cfg.replace(train=cfg.train.replace(n_epochs=2))
+        state2, logger = train(cfg2, resume=True)
+        assert int(jax.device_get(state2.step)) == 8
+        steps_run = sum(1 for m in logger.history if "_wall_s" not in m)
+        assert steps_run == 4  # only the second epoch executed
+
+
+class TestNeptuneSink:
+    def test_reference_channel_protocol(self, tmp_path):
+        from vaegan_tpu.utils.metrics import NeptuneSink
+
+        class FakeChannel(list):
+            append_calls = 0
+
+        class FakeRun(dict):
+            stopped = False
+            def __getitem__(self, k):
+                return self.setdefault(k, FakeChannel())
+            def stop(self):
+                self.stopped = True
+
+        run = FakeRun()
+        cfg = tiny_cfg(tmp_path)
+        logger = MetricsLogger(sinks=[NeptuneSink(run)])
+        train(cfg, logger=logger)
+        logger.close()
+        for channel in ("D loss", "G loss", "Recon loss", "KL", "D Real loss",
+                        "D Fake loss", "adversarial loss"):
+            assert len(run[channel]) == 4, channel
+        assert run.stopped
+
+
+class TestNanGuard:
+    def test_diverged_run_raises(self, tmp_path, monkeypatch):
+        from vaegan_tpu.train import loop as loop_mod
+        cfg = tiny_cfg(tmp_path, nan_check=True)
+        # poison the step to produce a NaN metric on step 2
+        import vaegan_tpu.train.step as step_mod
+        real_make = step_mod.make_train_step
+        def poisoned(cfg_, do_g_update, axis_name=None):
+            inner = real_make(cfg_, do_g_update, axis_name)
+            def step(state, batch, key):
+                new_state, m = inner(state, batch, key)
+                m = dict(m)
+                m["d_loss"] = m["d_loss"] + jnp.where(state.step >= 1, jnp.nan, 0.0)
+                return new_state, m
+            return step
+        monkeypatch.setattr(loop_mod, "make_train_step", poisoned)
+        with pytest.raises(loop_mod.TrainingDiverged, match="non-finite"):
+            train(cfg)

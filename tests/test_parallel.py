@@ -1,0 +1,111 @@
+"""Data-parallel tests on the 8-device virtual CPU mesh (conftest forces
+--xla_force_host_platform_device_count=8) — the multi-device story the reference
+never had (SURVEY.md §2.3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from vaegan_tpu.config import Config, DiscriminatorConfig, GeneratorConfig
+from vaegan_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    make_parallel_train_step,
+    replicate_state,
+)
+from vaegan_tpu.train import create_train_state, make_train_step
+
+
+def tiny_cfg() -> Config:
+    base = Config()
+    return base.replace(
+        generator=GeneratorConfig(depth=1, length=1, feature_size=8),
+        discriminator=DiscriminatorConfig(
+            num_stride_conv1=1, num_features_conv1=8, num_blocks=(1,),
+            num_strides_res=(2,), num_features_res=(16,), pool_size=2,
+            linear_widths=(16, 8, 8)),
+        data=base.data.replace(image_size=16, batch_size=16),
+    )
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest should provide 8 virtual devices"
+    return make_mesh()
+
+
+class TestMesh:
+    def test_mesh_shape(self, mesh):
+        assert mesh.devices.shape == (8, 1)
+        assert mesh.axis_names == ("data", "model")
+
+    def test_batch_is_sharded(self, mesh):
+        b = jax.device_put(np.zeros((16, 16, 16, 1), np.float32), batch_sharding(mesh))
+        assert len(b.sharding.device_set) == 8
+
+
+class TestParallelStep:
+    def test_step_runs_on_8_devices(self, mesh):
+        cfg = tiny_cfg()
+        state = replicate_state(create_train_state(cfg, jax.random.key(0)), mesh)
+        step = make_parallel_train_step(cfg, mesh, do_g_update=True)
+        batch = jax.device_put(
+            jax.random.uniform(jax.random.key(1), (16, 16, 16, 1)),
+            batch_sharding(mesh))
+        key = jax.device_put(jax.random.key(2), NamedSharding(mesh, P()))
+        new_state, metrics = step(state, batch, key)
+        assert int(jax.device_get(new_state.step)) == 1
+        for k, v in metrics.items():
+            assert np.isfinite(float(v)), k
+
+    def test_dp_matches_single_device(self, mesh):
+        """The GSPMD-sharded step must compute EXACTLY the single-device result:
+        global BN stats, global loss means, allreduced grads."""
+        cfg = tiny_cfg()
+        batch_host = np.asarray(jax.random.uniform(jax.random.key(1), (16, 16, 16, 1)))
+        key = jax.random.key(2)
+
+        # single device
+        s0 = create_train_state(cfg, jax.random.key(0))
+        step1 = jax.jit(make_train_step(cfg, do_g_update=True))
+        s1, m1 = step1(s0, jnp.asarray(batch_host), key)
+
+        # 8-way data parallel
+        s0b = replicate_state(create_train_state(cfg, jax.random.key(0)), mesh)
+        stepN = make_parallel_train_step(cfg, mesh, do_g_update=True)
+        bN = jax.device_put(batch_host, batch_sharding(mesh))
+        kN = jax.device_put(key, NamedSharding(mesh, P()))
+        sN, mN = stepN(s0b, bN, kN)
+
+        for k in m1:
+            np.testing.assert_allclose(
+                float(m1[k]), float(mN[k]), rtol=2e-4, atol=1e-5, err_msg=k)
+        # params equal after one step (tolerance: global-sum reduction order
+        # differs between 1 and 8 shards; the losses are float32 sums over
+        # ~40M elements)
+        l1 = jax.tree.leaves(jax.device_get(s1.g_params))
+        lN = jax.tree.leaves(jax.device_get(sN.g_params))
+        for a, b in zip(l1, lN):
+            np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-5)
+
+    def test_batchnorm_stats_are_global(self, mesh):
+        """Per-shard batches with different means must produce identical (global)
+        running stats vs the unsharded computation."""
+        cfg = tiny_cfg()
+        # craft a batch whose per-device shards have wildly different statistics
+        batch = np.concatenate(
+            [np.full((2, 16, 16, 1), i, np.float32) for i in range(8)], axis=0)
+        s0 = create_train_state(cfg, jax.random.key(0))
+        step1 = jax.jit(make_train_step(cfg, do_g_update=True))
+        s1, _ = step1(s0, jnp.asarray(batch), jax.random.key(2))
+
+        s0b = replicate_state(create_train_state(cfg, jax.random.key(0)), mesh)
+        stepN = make_parallel_train_step(cfg, mesh, do_g_update=True)
+        sN, _ = stepN(s0b, jax.device_put(batch, batch_sharding(mesh)),
+                      jax.device_put(jax.random.key(2), NamedSharding(mesh, P())))
+        a = jax.tree.leaves(jax.device_get(s1.g_stats))
+        b = jax.tree.leaves(jax.device_get(sN.g_stats))
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(x, y, rtol=2e-4, atol=1e-6)

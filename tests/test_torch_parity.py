@@ -264,3 +264,19 @@ class TestInterop:
         out = h.reshape(2, -1) @ jnp.asarray(var["params"]["linear_1"]["kernel"]) + jnp.asarray(
             var["params"]["linear_1"]["bias"])
         np.testing.assert_allclose(np.asarray(out), ref.detach().numpy(), rtol=1e-4, atol=1e-5)
+
+
+class TestPhaseDecomposedConvT:
+    def test_phase_path_matches_dilated_path(self):
+        """The opt-in phase-decomposed lowering must be numerically exact."""
+        from vaegan_tpu.ops import conv as conv_mod
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 9, 9, 6)).astype(np.float32))
+        k = jnp.asarray(np.random.default_rng(1).normal(size=(4, 4, 6, 8)).astype(np.float32))
+        ref = conv_mod.conv_transpose2d(x, k, 2, 1)
+        try:
+            conv_mod.PHASE_DECOMPOSE_CONV_TRANSPOSE = True
+            got = conv_mod.conv_transpose2d(x, k, 2, 1)
+        finally:
+            conv_mod.PHASE_DECOMPOSE_CONV_TRANSPOSE = False
+        assert got.shape == ref.shape == (2, 18, 18, 8)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)

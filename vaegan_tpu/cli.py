@@ -1,0 +1,206 @@
+"""Command-line interface.
+
+The reference has no CLI (it is a notebook); this exposes the framework's surface:
+
+    python -m vaegan_tpu.cli train --preset notebook --data-dir nii
+    python -m vaegan_tpu.cli train --config cfg.json --synthetic --epochs 1
+    python -m vaegan_tpu.cli eval --checkpoint ckpt/ --preset vae_96 --data-dir nii
+    python -m vaegan_tpu.cli sample --checkpoint ckpt/ --preset notebook -n 25 -o out.png
+    python -m vaegan_tpu.cli interpolate --checkpoint ckpt/ ... -o interp.png
+    python -m vaegan_tpu.cli search --trials 8 --results result/params.json
+    python -m vaegan_tpu.cli print-config --preset vaegan_paper
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+
+def _load_cfg(args):
+    from vaegan_tpu.config import Config, preset
+
+    if getattr(args, "config", None):
+        cfg = Config.from_json(args.config)
+    else:
+        cfg = preset(args.preset)
+    d = cfg.data
+    if getattr(args, "data_dir", None):
+        d = d.replace(root_dir=args.data_dir)
+    if getattr(args, "synthetic", False):
+        d = d.replace(synthetic=True)
+    if getattr(args, "batch_size", None):
+        d = d.replace(batch_size=args.batch_size)
+    if getattr(args, "image_size", None):
+        d = d.replace(image_size=args.image_size)
+    cfg = cfg.replace(data=d)
+    t = cfg.train
+    if getattr(args, "epochs", None) is not None:
+        t = t.replace(n_epochs=args.epochs)
+    if getattr(args, "checkpoint", None):
+        t = t.replace(checkpoint_dir=args.checkpoint)
+    if getattr(args, "seed", None) is not None:
+        t = t.replace(seed=args.seed)
+    return cfg.replace(train=t)
+
+
+def _restore(cfg, ckpt_dir):
+    import jax
+
+    from vaegan_tpu.checkpoint import CheckpointManager
+    from vaegan_tpu.train import create_train_state
+
+    template = create_train_state(cfg, jax.random.key(cfg.train.seed))
+    mgr = CheckpointManager(ckpt_dir)
+    state = mgr.restore(template)
+    mgr.close()
+    return state
+
+
+def cmd_train(args):
+    from vaegan_tpu.train.loop import train
+    from vaegan_tpu.utils.metrics import JsonlSink, MetricsLogger, StdoutSink
+
+    cfg = _load_cfg(args)
+    sinks = [StdoutSink()]
+    if args.metrics_jsonl:
+        sinks.append(JsonlSink(args.metrics_jsonl))
+    state, logger = train(cfg, logger=MetricsLogger(sinks=sinks, flush_every=cfg.train.log_every),
+                          resume=getattr(args, "resume", False))
+    logger.close()
+    print(f"done: {sum(1 for m in logger.history if '_wall_s' not in m)} steps")
+    return 0
+
+
+def cmd_eval(args):
+    import jax.numpy as jnp
+
+    from vaegan_tpu import inference
+    from vaegan_tpu.data.pipeline import make_loader
+
+    cfg = _load_cfg(args)
+    state = _restore(cfg, args.checkpoint)
+    loader = make_loader(cfg.data, seed=cfg.train.seed)
+    mse = inference.evaluate_mse(cfg, state, iter(loader), num_batches=args.num_batches)
+    print(f"Mean squared error between original and reconstructed images: {mse:.4f}")
+    return 0
+
+
+def cmd_sample(args):
+    import jax
+
+    from vaegan_tpu import inference
+    from vaegan_tpu.utils.imaging import save_image_grid
+
+    cfg = _load_cfg(args)
+    state = _restore(cfg, args.checkpoint)
+    imgs = inference.sample(cfg, state, jax.random.key(args.seed or 0), n=args.num)
+    save_image_grid(jax.device_get(imgs), args.output, nrow=5)
+    print(f"wrote {args.num} prior samples to {args.output}")
+    return 0
+
+
+def cmd_interpolate(args):
+    import jax
+    import jax.numpy as jnp
+
+    from vaegan_tpu import inference
+    from vaegan_tpu.data.pipeline import make_loader
+    from vaegan_tpu.utils.imaging import save_image_grid
+
+    cfg = _load_cfg(args)
+    state = _restore(cfg, args.checkpoint)
+    loader = make_loader(cfg.data, seed=cfg.train.seed)
+    batch = jnp.asarray(next(iter(loader)))
+    seq = inference.interpolate(cfg, state, batch[:1], batch[1:2], steps=args.steps)
+    save_image_grid(jax.device_get(seq[:, 0]), args.output, nrow=args.steps)
+    print(f"wrote {args.steps}-step interpolation to {args.output}")
+    return 0
+
+
+def cmd_print_config(args):
+    cfg = _load_cfg(args)
+    print(cfg.to_json())
+    return 0
+
+
+def cmd_search(args):
+    from vaegan_tpu.search import random_search
+
+    cfg = _load_cfg(args)
+    random_search(cfg, n_trials=args.trials, results_path=args.results,
+                  archive_dir=args.archive, seed=args.seed or 0)
+    return 0
+
+
+def cmd_bench(args):
+    import runpy
+
+    sys.argv = ["bench.py"]
+    runpy.run_path(str(Path(__file__).resolve().parents[1] / "bench.py"),
+                   run_name="__main__")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="vaegan-tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp, ckpt_required=False):
+        sp.add_argument("--preset", default="notebook")
+        sp.add_argument("--config", help="JSON config file (overrides --preset)")
+        sp.add_argument("--data-dir")
+        sp.add_argument("--synthetic", action="store_true")
+        sp.add_argument("--batch-size", type=int)
+        sp.add_argument("--image-size", type=int)
+        sp.add_argument("--seed", type=int)
+        sp.add_argument("--checkpoint", required=ckpt_required,
+                        help="checkpoint directory")
+
+    sp = sub.add_parser("train", help="run training")
+    common(sp)
+    sp.add_argument("--epochs", type=int)
+    sp.add_argument("--metrics-jsonl", help="write metrics to this JSONL file")
+    sp.add_argument("--resume", action="store_true",
+                    help="restore the latest checkpoint and continue")
+    sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("eval", help="reconstruction MSE on data batches")
+    common(sp, ckpt_required=True)
+    sp.add_argument("--num-batches", type=int, default=1)
+    sp.set_defaults(fn=cmd_eval)
+
+    sp = sub.add_parser("sample", help="decode prior samples")
+    common(sp, ckpt_required=True)
+    sp.add_argument("-n", "--num", type=int, default=25)
+    sp.add_argument("-o", "--output", default="samples.png")
+    sp.set_defaults(fn=cmd_sample)
+
+    sp = sub.add_parser("interpolate", help="latent interpolation between two images")
+    common(sp, ckpt_required=True)
+    sp.add_argument("--steps", type=int, default=8)
+    sp.add_argument("-o", "--output", default="interpolation.png")
+    sp.set_defaults(fn=cmd_interpolate)
+
+    sp = sub.add_parser("search", help="hyperparameter random search")
+    common(sp)
+    sp.add_argument("--trials", type=int, default=8)
+    sp.add_argument("--results", default="result/params.json")
+    sp.add_argument("--archive", default="result/archive")
+    sp.set_defaults(fn=cmd_search)
+
+    sp = sub.add_parser("print-config", help="dump the resolved config JSON")
+    common(sp)
+    sp.set_defaults(fn=cmd_print_config)
+
+    sp = sub.add_parser("bench", help="run the throughput benchmark")
+    sp.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

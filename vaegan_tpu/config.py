@@ -16,6 +16,16 @@ from dataclasses import dataclass, field
 from typing import Any, Optional, Sequence, Tuple
 
 
+def pallas_mode(v) -> str:
+    """Normalize TrainConfig.use_pallas to "off"|"losses"|"all"."""
+    if v is True:
+        return "all"
+    if v is False or v is None:
+        return "off"
+    assert v in ("off", "losses", "all"), v
+    return v
+
+
 def _freeze(seq):
     return tuple(seq) if isinstance(seq, (list, tuple)) else seq
 
@@ -147,9 +157,13 @@ class TrainConfig(_Replaceable):
     checkpoint_every: int = 500
     seed: int = 0
     dtype: str = "float32"             # compute dtype: "float32" | "bfloat16"
-    use_pallas: bool = True            # fused Pallas kernels on TPU
+    # fused Pallas kernels: "off" | "losses" (reparam+KL, recon sums) | "all"
+    # (also fuse the res-block BN+act+dropout chains). bool accepted: True="all".
+    use_pallas: Any = "losses"
     remat: bool = False                # jax.checkpoint the generator blocks
     init_scheme: str = "reference"     # faithful init quirks (README.md:700-707) | "clean"
+    nan_check: bool = False            # per-flush finite-metrics check (forces a host
+    # sync at the flush cadence; raises TrainingDiverged with step context)
 
 
 @dataclass(frozen=True)

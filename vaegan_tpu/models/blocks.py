@@ -31,6 +31,7 @@ class ResBlockVAE(nn.Module):
     init_scheme: str = "reference"
     dtype: Dtype = jnp.float32
     axis_name: Optional[str] = None
+    use_pallas: bool = False            # fuse BN+LeakyReLU+dropout into one kernel
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
@@ -55,23 +56,27 @@ class ResBlockVAE(nn.Module):
 
         act = lambda t: leaky_relu(t, self.negative_slope)
         shortcut = sc_bn(sc_conv(x), train=train)
+        slope, p = self.negative_slope, self.dropout_prob
 
         if self.res_mode == "standard":
             out = conv1(x)
-            out = bn1(out, train=train)
-            out = act(out)
-            out = dropout(out, train=train)
+            if self.use_pallas:  # BN -> act -> dropout, one fused pass
+                out = bn1(out, train=train, fuse=(slope, p))
+            else:
+                out = dropout(act(bn1(out, train=train)), train=train)
             out = conv2(out)
             out = bn2(out, train=train)
             out = out + shortcut
             out = act(out)
         elif self.res_mode == "pre-activation":
-            out = bn1(x, train=train)
-            out = act(out)
-            out = dropout(out, train=train)
-            out = conv1(out)
-            out = bn2(out, train=train)
-            out = act(out)
+            if self.use_pallas:
+                out = bn1(x, train=train, fuse=(slope, p))
+                out = conv1(out)
+                out = bn2(out, train=train, fuse=(slope, 0.0))
+            else:
+                out = dropout(act(bn1(x, train=train)), train=train)
+                out = conv1(out)
+                out = act(bn2(out, train=train))
             out = conv2(out)
             out = out + shortcut
         else:
@@ -88,6 +93,9 @@ class ResBlockDiscriminator(nn.Module):
     init_scheme: str = "reference"
     dtype: Dtype = jnp.float32
     axis_name: Optional[str] = None
+    use_pallas: bool = False            # NOTE: incompatible with the gradient
+    # penalty (custom_vjp is not twice-differentiable); build_models disables it
+    # for the critic under WGAN-GP configs
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
@@ -111,22 +119,20 @@ class ResBlockDiscriminator(nn.Module):
         else:
             shortcut = x.astype(self.dtype)
 
+        fuse = (self.negative_slope, 0.0) if self.use_pallas else None
         if self.res_mode == "standard":
             out = conv1(x, train=train)
             out = dropout(out, train=train)
-            out = bn1(out, train=train)
-            out = act(out)
+            out = bn1(out, train=train, fuse=fuse) if fuse else act(bn1(out, train=train))
             out = conv2(out, train=train)
             out = bn2(out, train=train)
             out = out + shortcut
             out = act(out)
         elif self.res_mode == "pre-activation":
-            out = bn1(x, train=train)
-            out = act(out)
+            out = bn1(x, train=train, fuse=fuse) if fuse else act(bn1(x, train=train))
             out = conv1(out, train=train)
             out = dropout(out, train=train)
-            out = bn2(out, train=train)
-            out = act(out)
+            out = bn2(out, train=train, fuse=fuse) if fuse else act(bn2(out, train=train))
             out = conv2(out, train=train)
             out = out + shortcut
         else:

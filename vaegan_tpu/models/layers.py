@@ -101,7 +101,14 @@ class Linear(nn.Module):
 
 
 class BatchNorm(nn.Module):
-    """torch-exact BatchNorm2d over NHWC (see ops.norm.batch_norm)."""
+    """torch-exact BatchNorm2d over NHWC (see ops.norm.batch_norm).
+
+    ``fuse=(slope, p)`` runs normalize + LeakyReLU(slope) + dropout(p) as ONE
+    Pallas pass (ops.pallas_fused.bn_act_dropout) — the pre-activation res-block's
+    elementwise chain per the BASELINE north star. The dropout seed is drawn from
+    the module's ``dropout`` rng stream; the mask is replayed from the seed in the
+    backward kernel (never materialized).
+    """
 
     momentum: float = 0.1
     eps: float = 1e-5
@@ -109,17 +116,36 @@ class BatchNorm(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
+    def __call__(self, x: jax.Array, *, train: bool,
+                 fuse: Optional[Tuple[float, float]] = None) -> jax.Array:
         c = x.shape[-1]
         scale = self.param("scale", inits.ones, (c,))
         bias = self.param("bias", inits.zeros, (c,))
         mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32))
         var = self.variable("batch_stats", "var", lambda: jnp.ones((c,), jnp.float32))
-        y, new_mean, new_var = batch_norm(
-            x.astype(self.dtype), scale, bias, mean.value, var.value,
-            use_running_average=not train,
-            momentum=self.momentum, eps=self.eps, axis_name=self.axis_name,
-        )
+        if fuse is None:
+            y, new_mean, new_var = batch_norm(
+                x.astype(self.dtype), scale, bias, mean.value, var.value,
+                use_running_average=not train,
+                momentum=self.momentum, eps=self.eps, axis_name=self.axis_name,
+            )
+        else:
+            from vaegan_tpu.ops.norm import batch_stats
+            from vaegan_tpu.ops.pallas_fused import bn_act_dropout
+
+            slope, p = fuse
+            m, v, new_mean, new_var = batch_stats(
+                x, mean.value, var.value, use_running_average=not train,
+                momentum=self.momentum, axis_name=self.axis_name)
+            p_eff = float(p) if train else 0.0
+            if p_eff > 0.0:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0, jnp.iinfo(jnp.int32).max,
+                    dtype=jnp.int32)
+            else:
+                seed = jnp.zeros((), jnp.int32)
+            y = bn_act_dropout(x.astype(self.dtype), m, v, scale, bias, seed,
+                               float(slope), p_eff)
         if train and not self.is_initializing():
             mean.value = new_mean
             var.value = new_var

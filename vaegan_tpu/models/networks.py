@@ -37,6 +37,15 @@ from vaegan_tpu.ops.conv import avg_pool
 Dtype = Any
 
 
+def _block_runner(remat: bool, train: bool):
+    """Run a residual block, optionally under jax.checkpoint (remat): recompute the
+    block's activations in the backward pass instead of storing them — the step is
+    HBM-bandwidth-bound on TPU, so trading FLOPs for bytes wins (SURVEY.md §7)."""
+    def run(blk, x):
+        return blk(x, train=train)
+    return nn.remat(run) if remat else run
+
+
 class Encoder(nn.Module):
     depth: int
     length: int
@@ -46,22 +55,26 @@ class Encoder(nn.Module):
     init_scheme: str = "reference"
     dtype: Dtype = jnp.float32
     axis_name: Optional[str] = None
+    remat: bool = False
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
         kw = dict(res_mode=self.res_mode, dropout_prob=self.dropout_prob,
-                  init_scheme=self.init_scheme, dtype=self.dtype, axis_name=self.axis_name)
+                  init_scheme=self.init_scheme, dtype=self.dtype, axis_name=self.axis_name,
+                  use_pallas=self.use_pallas)
+        run = _block_runner(self.remat, train)
         feature_size = self.feature_size
         for i in range(self.length):
-            x = ResBlockVAE(feature_size, mode="level",
-                            name=f"encoder-depth_0-level_{i}", **kw)(x, train=train)
+            x = run(ResBlockVAE(feature_size, mode="level",
+                                name=f"encoder-depth_0-level_{i}", **kw), x)
         for d in range(1, self.depth + 1):
             feature_size *= 2
-            x = ResBlockVAE(feature_size, mode="downsample",
-                            name=f"encoder-depth_{d}-downsample", **kw)(x, train=train)
+            x = run(ResBlockVAE(feature_size, mode="downsample",
+                                name=f"encoder-depth_{d}-downsample", **kw), x)
             for item in range(self.length - 1):
-                x = ResBlockVAE(feature_size, mode="level",
-                                name=f"encoder-depth_{d}-level_{item}", **kw)(x, train=train)
+                x = run(ResBlockVAE(feature_size, mode="level",
+                                    name=f"encoder-depth_{d}-level_{item}", **kw), x)
         return x
 
 
@@ -75,21 +88,25 @@ class Decoder(nn.Module):
     init_scheme: str = "reference"
     dtype: Dtype = jnp.float32
     axis_name: Optional[str] = None
+    remat: bool = False
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
         kw = dict(res_mode=self.res_mode, dropout_prob=self.dropout_prob,
-                  init_scheme=self.init_scheme, dtype=self.dtype, axis_name=self.axis_name)
+                  init_scheme=self.init_scheme, dtype=self.dtype, axis_name=self.axis_name,
+                  use_pallas=self.use_pallas)
+        run = _block_runner(self.remat, train)
         feature_size = self.in_channels // 2
         for d in range(self.depth, 0, -1):
-            x = ResBlockVAE(feature_size, mode="upsample",
-                            name=f"decoder-depth_{d}-upsample", **kw)(x, train=train)
+            x = run(ResBlockVAE(feature_size, mode="upsample",
+                                name=f"decoder-depth_{d}-upsample", **kw), x)
             for item in range(self.length - 1):
-                x = ResBlockVAE(feature_size, mode="level",
-                                name=f"decoder-depth_{d}-level_{item}", **kw)(x, train=train)
+                x = run(ResBlockVAE(feature_size, mode="level",
+                                    name=f"decoder-depth_{d}-level_{item}", **kw), x)
             feature_size //= 2
-        x = ResBlockVAE(self.reconstruction_channels, mode="level",
-                        name="decoder-depth_0-reconstruction", **kw)(x, train=train)
+        x = run(ResBlockVAE(self.reconstruction_channels, mode="level",
+                            name="decoder-depth_0-reconstruction", **kw), x)
         return x
 
 
@@ -98,6 +115,7 @@ class SpatialVAECodeProcessor(nn.Module):
     logvar_bound: float = 50.0
     init_scheme: str = "reference"
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     def setup(self):
         kw = dict(use_bias=True, init_scheme=self.init_scheme, dtype=self.dtype)
@@ -111,9 +129,16 @@ class SpatialVAECodeProcessor(nn.Module):
         log_var = jnp.clip(self.log_var(x), -self.logvar_bound, self.logvar_bound)
         mu = self.mu(x)
         if train:
-            if eps is None:
-                eps = jax.random.normal(self.make_rng("noise"), mu.shape, mu.dtype)
-            z = mu + jnp.exp(jnp.asarray(0.5, log_var.dtype) * log_var) * eps.astype(mu.dtype)
+            if eps is None and self.use_pallas:
+                from vaegan_tpu.ops.pallas_fused import reparam_kl
+
+                seed = jax.random.randint(self.make_rng("noise"), (), 0,
+                                          jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+                z, _ = reparam_kl(mu, log_var, seed)  # in-kernel eps + fused KL
+            else:
+                if eps is None:
+                    eps = jax.random.normal(self.make_rng("noise"), mu.shape, mu.dtype)
+                z = mu + jnp.exp(jnp.asarray(0.5, log_var.dtype) * log_var) * eps.astype(mu.dtype)
         else:
             z = mu
         return z, mu, log_var
@@ -132,11 +157,15 @@ class UnsupervisedGeneratorNetwork(nn.Module):
     init_scheme: str = "reference"
     dtype: Dtype = jnp.float32
     axis_name: Optional[str] = None
+    remat: bool = False
+    use_pallas: bool = False       # fuse res-block BN+act+dropout chains
+    fuse_reparam: bool = False     # fuse reparameterization (+KL ride-along)
 
     def setup(self):
         c = self.cfg
         kw = dict(res_mode=c.res_mode, dropout_prob=c.dropout_prob,
-                  init_scheme=self.init_scheme, dtype=self.dtype, axis_name=self.axis_name)
+                  init_scheme=self.init_scheme, dtype=self.dtype, axis_name=self.axis_name,
+                  remat=self.remat, use_pallas=self.use_pallas)
         self.encoder = Encoder(depth=c.depth, length=c.length,
                                feature_size=c.feature_size, name="encoder", **kw)
         self.decoder = Decoder(depth=c.depth, length=c.length,
@@ -144,7 +173,8 @@ class UnsupervisedGeneratorNetwork(nn.Module):
                                reconstruction_channels=c.in_channels, name="decoder", **kw)
         self.code_processor = SpatialVAECodeProcessor(
             feature_depth=c.feature_depth, logvar_bound=c.logvar_bound,
-            init_scheme=self.init_scheme, dtype=self.dtype, name="code_processor")
+            init_scheme=self.init_scheme, dtype=self.dtype,
+            use_pallas=self.use_pallas or self.fuse_reparam, name="code_processor")
 
     def __call__(self, x: jax.Array, *, train: bool, eps: Optional[jax.Array] = None):
         h = self.encoder(x, train=train)
@@ -168,30 +198,36 @@ class Discriminator(nn.Module):
     init_scheme: str = "reference"
     dtype: Dtype = jnp.float32
     axis_name: Optional[str] = None
+    remat: bool = False
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool, return_features: bool = False):
         c = self.cfg
+        run = _block_runner(self.remat, train)
         act = lambda t: leaky_relu(t, 0.2)
         out = Conv2D(c.num_features_conv1, 3, c.num_stride_conv1, 1,
                      init_scheme=self.init_scheme, dtype=self.dtype, name="conv1")(x)
-        out = BatchNorm(name="bn1", axis_name=self.axis_name, dtype=self.dtype)(out, train=train)
-        out = act(out)
+        bn1 = BatchNorm(name="bn1", axis_name=self.axis_name, dtype=self.dtype)
+        if self.use_pallas:
+            out = bn1(out, train=train, fuse=(0.2, 0.0))
+        else:
+            out = act(bn1(out, train=train))
 
         # residual stages (reference _make_layer, README.md:488-498)
         for i, (planes, blocks, stride) in enumerate(
                 zip(c.num_features_res, c.num_blocks, c.num_strides_res)):
-            out = ResBlockDiscriminator(
+            out = run(ResBlockDiscriminator(
                 planes, res_stride=stride, res_mode=c.res_mode,
                 dropout_prob=c.dropout_prob, init_scheme=self.init_scheme,
-                dtype=self.dtype, axis_name=self.axis_name,
-                name=f"res_layers_{i}_0")(out, train=train)
+                dtype=self.dtype, axis_name=self.axis_name, use_pallas=self.use_pallas,
+                name=f"res_layers_{i}_0"), out)
             for b in range(1, blocks):
-                out = ResBlockDiscriminator(
+                out = run(ResBlockDiscriminator(
                     planes, res_stride=1, res_mode=c.res_mode,
                     dropout_prob=c.dropout_prob, init_scheme=self.init_scheme,
-                    dtype=self.dtype, axis_name=self.axis_name,
-                    name=f"res_layers_{i}_{b}")(out, train=train)
+                    dtype=self.dtype, axis_name=self.axis_name, use_pallas=self.use_pallas,
+                    name=f"res_layers_{i}_{b}"), out)
 
         features = {"res_out": out}
         out = avg_pool(out, c.pool_size)

@@ -26,6 +26,10 @@ def _pair(v: Union[int, Tuple[int, int]]) -> Tuple[int, int]:
     return (v, v) if isinstance(v, int) else tuple(v)  # type: ignore[return-value]
 
 
+# opt-in alternative lowering for k4/s2/p1 transposed convs (see conv_transpose2d)
+PHASE_DECOMPOSE_CONV_TRANSPOSE = False
+
+
 def conv2d(
     x: jax.Array,
     kernel: jax.Array,
@@ -68,6 +72,12 @@ def conv_transpose2d(
     spatially with (k-1-p) low / (k-1-p+output_padding) high, and cross-correlate with
     the spatially *flipped* kernel whose in/out channels are swapped.
 
+    On TPU the input-dilated form burns s*s MXU work on zeros, so when the output
+    size decomposes cleanly this lowers as a *phase decomposition* instead: one
+    stride-1 conv per output phase (each seeing only the kernel taps that actually
+    touch it) followed by a depth-to-space interleave — identical sums, regrouped,
+    zero wasted MXU cycles.
+
     Args:
         x: (N, H, W, C_in).
         kernel: (KH, KW, C_in, C_out) — note: stored in the *forward* orientation;
@@ -78,7 +88,13 @@ def conv_transpose2d(
     ph, pw = _pair(padding)
     oph, opw = _pair(output_padding)
     kh, kw = kernel.shape[0], kernel.shape[1]
-    # flip spatial taps; keep HWIO layout (in=latent channels contract).
+    if (PHASE_DECOMPOSE_CONV_TRANSPOSE and (sh, sw) == (2, 2) and (kh, kw) == (4, 4)
+            and (ph, pw) == (1, 1) and (oph, opw) == (0, 0)):
+        # measured on v5e: XLA's own dilated-conv lowering already avoids the zero
+        # work, and the explicit interleave costs an extra memory pass — so this
+        # stays opt-in (kept for other topologies / future shapes).
+        return _conv_transpose_phase2(x, kernel, preferred_dtype)
+    # general fallback: lhs-dilated cross-correlation with the flipped kernel
     k = jnp.flip(kernel, axis=(0, 1))
     dn = _DN(x.shape, k.shape, ("NHWC", "HWIO", "NHWC"))
     pad_h = (kh - 1 - ph, kh - 1 - ph + oph)
@@ -92,6 +108,49 @@ def conv_transpose2d(
         dimension_numbers=dn,
         preferred_element_type=preferred_dtype,
     )
+
+
+def _conv_transpose_phase2(x: jax.Array, kernel: jax.Array,
+                           preferred_dtype: Optional[jnp.dtype]) -> jax.Array:
+    """k=4, s=2, p=1 transposed conv as 4 phase convs + interleave (exact).
+
+    Derivation (1-D, per axis): with the flipped kernel g[t] = w[3-t], output
+    y[i] = sum_t g[t] * xd[i + t] where xd is x dilated by 2 and padded by
+    (k-1-p) = 2 on each side; xd[j] = x[(j-2)/2] when j even (0-based), else 0.
+    For even output i = 2m: contributing taps are t in {0, 2} ->
+        y[2m] = g[0] x[m-1+... ] ... concretely y[2m] = g[0]*x[m-1]? Work in code:
+        j = i + t must satisfy (j - 2) even and 0 <= (j-2)/2 < H.
+        i=2m: t=0 -> j=2m -> x[m-1]; t=2 -> j=2m+2 -> x[m].
+        i=2m+1: t=1 -> j=2m+2 -> x[m]; t=3 -> j=2m+4 -> x[m+1].
+    So the even phase is a stride-1 size-2 conv with taps (g0, g2) over (x[m-1], x[m])
+    and the odd phase with taps (g1, g3) over (x[m], x[m+1]). In 2-D this becomes
+    4 phase kernels of shape (2, 2, I, O) with per-phase asymmetric padding.
+    """
+    g = jnp.flip(kernel, axis=(0, 1))  # (4, 4, I, O)
+    n, h, w, _ = x.shape
+    dn = _DN(x.shape, (2, 2) + kernel.shape[2:], ("NHWC", "HWIO", "NHWC"))
+
+    # taps and paddings per phase: even uses rows/cols {0, 2} with pad (1, 0)
+    # (x[m-1], x[m]); odd uses {1, 3} with pad (0, 1) (x[m], x[m+1]).
+    idx = {0: jnp.array([0, 2]), 1: jnp.array([1, 3])}
+    pad = {0: (1, 0), 1: (0, 1)}
+    phases = []
+    for pr in (0, 1):
+        row = jnp.take(g, idx[pr], axis=0)
+        for pc in (0, 1):
+            kk = jnp.take(row, idx[pc], axis=1)  # (2, 2, I, O)
+            y = lax.conv_general_dilated(
+                x, kk, window_strides=(1, 1),
+                padding=(pad[pr], pad[pc]),
+                dimension_numbers=dn,
+                preferred_element_type=preferred_dtype,
+            )
+            phases.append(y)
+    o = phases[0].shape[-1]
+    # interleave: phases ordered (even,even), (even,odd), (odd,even), (odd,odd)
+    stacked = jnp.stack(phases, axis=3).reshape(n, h, w, 2, 2, o)
+    out = jnp.transpose(stacked, (0, 1, 3, 2, 4, 5)).reshape(n, 2 * h, 2 * w, o)
+    return out
 
 
 def avg_pool(x: jax.Array, window: int, stride: Optional[int] = None) -> jax.Array:

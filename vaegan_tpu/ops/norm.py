@@ -23,6 +23,37 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def batch_stats(
+    x: jax.Array,
+    running_mean: jax.Array,
+    running_var: jax.Array,
+    *,
+    use_running_average: bool,
+    momentum: float = 0.1,
+    axis_name: Optional[str] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Compute the (mean, var) used for normalization plus the updated running
+    stats — the stats half of ``batch_norm``, exposed for fused-kernel callers."""
+    c = x.shape[-1]
+    red = tuple(range(x.ndim - 1))
+    if use_running_average:
+        return running_mean, running_var, running_mean, running_var
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=red)
+    mean_sq = jnp.mean(jnp.square(xf), axis=red)
+    if axis_name is not None:
+        mean = lax.pmean(mean, axis_name)
+        mean_sq = lax.pmean(mean_sq, axis_name)
+    var = mean_sq - jnp.square(mean)
+    n = jnp.asarray(x.size // c, jnp.float32)
+    if axis_name is not None:
+        n = n * lax.psum(1, axis_name)
+    bessel = n / jnp.maximum(n - 1.0, 1.0)
+    new_mean = ((1.0 - momentum) * running_mean + momentum * mean).astype(running_mean.dtype)
+    new_var = ((1.0 - momentum) * running_var + momentum * (var * bessel)).astype(running_var.dtype)
+    return mean, var, new_mean, new_var
+
+
 def batch_norm(
     x: jax.Array,
     scale: jax.Array,

@@ -1,0 +1,418 @@
+"""Pallas (Mosaic/TPU) fused kernels for the hot elementwise chains.
+
+The BASELINE north star calls for the pre-activation res-block's
+BatchNorm + LeakyReLU + dropout chain and the reparameterization + KL + recon loss
+math to run as fused kernels. The convs themselves stay on XLA's conv emitter (that
+IS the MXU path); what Pallas buys here is HBM traffic:
+
+- ``bn_act_dropout``: one VMEM pass for normalize + LeakyReLU + inverted dropout.
+  The dropout mask is never materialized — the backward pass re-derives it from the
+  same PRNG seed (pltpu.prng_seed is deterministic per grid point), saving a full
+  mask read+write of every (N, H, W, C) activation.
+- ``reparam_kl``: z = mu + exp(0.5*logvar)*eps with eps ~ N(0,1) generated in-kernel
+  (Box-Muller over pltpu.prng_random_bits) FUSED with the KL partial sums — mu and
+  logvar are read once for both.
+- ``recon_loss``: L1 + MSE partial sums in a single pass over (recon, real).
+
+Every op carries a custom VJP whose backward is also a single fused pass. All ops
+fall back to plain jnp (identical math, jax.random streams instead of the TPU PRNG)
+when the platform is not TPU or shapes don't tile; ``FORCE_FALLBACK`` pins the
+fallback for tests.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+try:  # pallas TPU backend is unavailable on cpu builds
+    from jax.experimental.pallas import tpu as pltpu
+except Exception:  # pragma: no cover
+    pltpu = None
+
+FORCE_FALLBACK = False
+
+_BLOCK_M = 1024
+_LANE = 128
+
+
+def _use_pallas(*shapes_c) -> bool:
+    if FORCE_FALLBACK or pltpu is None:
+        return False
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    return all(c % _LANE == 0 for c in shapes_c)
+
+
+def _flatten2d(x):
+    c = x.shape[-1]
+    return x.reshape(-1, c), x.shape
+
+
+def _pad_m(x2, block):
+    m = x2.shape[0]
+    pad = (-m) % block
+    if pad:
+        x2 = jnp.pad(x2, ((0, pad), (0, 0)))
+    return x2, m
+
+
+# ===========================================================================
+# fused BatchNorm-normalize + LeakyReLU + dropout
+# ===========================================================================
+
+def _bn_fwd_kernel(seed_ref, x_ref, mv_ref, sb_ref, y_ref, *, slope, p, block_m):
+    i = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0] + i)
+    x = x_ref[:].astype(jnp.float32)
+    mean = mv_ref[0, :]
+    inv = jax.lax.rsqrt(mv_ref[1, :] + 1e-5)
+    a = (x - mean) * (inv * sb_ref[0, :]) + sb_ref[1, :]
+    l = jnp.where(a >= 0, a, a * slope)
+    if p > 0.0:
+        bits = pltpu.prng_random_bits(l.shape)  # int32; logical shift -> uniform 24-bit
+        keep = jax.lax.shift_right_logical(bits, 8).astype(jnp.float32) >= jnp.float32(p * (1 << 24))
+        l = jnp.where(keep, l * (1.0 / (1.0 - p)), 0.0)
+    y_ref[:] = l.astype(y_ref.dtype)
+
+
+def _bn_bwd_kernel(seed_ref, x_ref, mv_ref, sb_ref, g_ref,
+                   dx_ref, red_ref, *, slope, p, block_m):
+    i = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0] + i)
+    x = x_ref[:].astype(jnp.float32)
+    g = g_ref[:].astype(jnp.float32)
+    mean = mv_ref[0, :]
+    var = mv_ref[1, :]
+    inv = jax.lax.rsqrt(var + 1e-5)
+    scale = sb_ref[0, :]
+    xhat = (x - mean) * inv
+    a = xhat * scale + sb_ref[1, :]
+    if p > 0.0:
+        bits = pltpu.prng_random_bits(a.shape)
+        keep = jax.lax.shift_right_logical(bits, 8).astype(jnp.float32) >= jnp.float32(p * (1 << 24))
+        gl = jnp.where(keep, g * (1.0 / (1.0 - p)), 0.0)
+    else:
+        gl = g
+    ga = jnp.where(a >= 0, gl, gl * slope)
+    dxhat = ga * scale
+    dx_ref[:] = (dxhat * inv).astype(dx_ref.dtype)
+    # channel reductions, accumulated across the sequential TPU grid
+    dscale = jnp.sum(ga * xhat, axis=0)
+    dbias = jnp.sum(ga, axis=0)
+    dmean = jnp.sum(dxhat, axis=0) * (-inv)
+    dvar = jnp.sum(dxhat * xhat, axis=0) * (-0.5) / (var + 1e-5)
+    part = jnp.stack([dscale, dbias, dmean, dvar])
+
+    @pl.when(i == 0)
+    def _():
+        red_ref[:] = part
+
+    @pl.when(i > 0)
+    def _():
+        red_ref[:] = red_ref[:] + part
+
+
+def _bn_fallback(x, mean, var, scale, bias, seed, slope, p):
+    inv = jax.lax.rsqrt(var.astype(jnp.float32) + 1e-5)
+    a = (x.astype(jnp.float32) - mean) * (inv * scale) + bias
+    l = jnp.where(a >= 0, a, a * slope)
+    if p > 0.0:
+        key = jax.random.key_from_seed if False else None
+        k = jax.random.fold_in(jax.random.key(0), seed)
+        keep = jax.random.bernoulli(k, 1.0 - p, l.shape)
+        l = jnp.where(keep, l / (1.0 - p), 0.0)
+    return l.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def bn_act_dropout(x, mean, var, scale, bias, seed, slope: float, p: float):
+    """y = dropout(leaky_relu(scale*(x-mean)*rsqrt(var+eps)+bias, slope), p).
+
+    ``seed``: int32 scalar; the dropout stream is a pure function of (seed, grid
+    position), replayed identically in the backward kernel.
+    """
+    y, _ = _bn_fwd(x, mean, var, scale, bias, seed, slope, p)
+    return y
+
+
+def _bn_fwd(x, mean, var, scale, bias, seed, slope, p):
+    c = x.shape[-1]
+    if not _use_pallas(c):
+        return _bn_fallback(x, mean, var, scale, bias, seed, slope, p), (
+            x, mean, var, scale, bias, seed)
+    x2, orig_shape = _flatten2d(x)
+    x2, m = _pad_m(x2, _BLOCK_M)
+    grid = x2.shape[0] // _BLOCK_M
+    mv = jnp.stack([mean.astype(jnp.float32), var.astype(jnp.float32)])
+    sb = jnp.stack([scale.astype(jnp.float32), bias.astype(jnp.float32)])
+    y = pl.pallas_call(
+        functools.partial(_bn_fwd_kernel, slope=slope, p=p, block_m=_BLOCK_M),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((_BLOCK_M, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_BLOCK_M, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x2.shape, x.dtype),
+    )(jnp.asarray([seed], jnp.int32), x2, mv, sb)
+    y = y[:m].reshape(orig_shape)
+    return y, (x, mean, var, scale, bias, seed)
+
+
+def _bn_fwd_rule(x, mean, var, scale, bias, seed, slope, p):
+    return _bn_fwd(x, mean, var, scale, bias, seed, slope, p)
+
+
+def _bn_bwd_rule(slope, p, res, g):
+    x, mean, var, scale, bias, seed = res
+    c = x.shape[-1]
+    if not _use_pallas(c):
+        # differentiate the fallback directly
+        def f(x, mean, var, scale, bias):
+            return _bn_fallback(x, mean, var, scale, bias, seed, slope, p)
+        _, vjp = jax.vjp(f, x, mean, var, scale, bias)
+        dx, dmean, dvar, dscale, dbias = vjp(g)
+        return dx, dmean, dvar, dscale, dbias, None
+    x2, orig_shape = _flatten2d(x)
+    x2, m = _pad_m(x2, _BLOCK_M)
+    g2, _ = _flatten2d(g)
+    g2, _ = _pad_m(g2, _BLOCK_M)  # padded rows have g = 0 -> no reduction effect
+    grid = x2.shape[0] // _BLOCK_M
+    mv = jnp.stack([mean.astype(jnp.float32), var.astype(jnp.float32)])
+    sb = jnp.stack([scale.astype(jnp.float32), bias.astype(jnp.float32)])
+    dx, red = pl.pallas_call(
+        functools.partial(_bn_bwd_kernel, slope=slope, p=p, block_m=_BLOCK_M),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((_BLOCK_M, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BLOCK_M, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((_BLOCK_M, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(x2.shape, x.dtype),
+            jax.ShapeDtypeStruct((4, c), jnp.float32),
+        ),
+    )(jnp.asarray([seed], jnp.int32), x2, mv, sb, g2)
+    dx = dx[:m].reshape(orig_shape)
+    dscale, dbias, dmean, dvar = red[0], red[1], red[2], red[3]
+    return (dx, dmean.astype(mean.dtype), dvar.astype(var.dtype),
+            dscale.astype(scale.dtype), dbias.astype(bias.dtype), None)
+
+
+bn_act_dropout.defvjp(_bn_fwd_rule, _bn_bwd_rule)
+
+
+# ===========================================================================
+# fused reparameterization + KL
+# ===========================================================================
+
+def _normal_from_bits(shape):
+    """Box-Muller over two draws of TPU PRNG bits."""
+    b1 = pltpu.prng_random_bits(shape)
+    b2 = pltpu.prng_random_bits(shape)
+    u1 = (jax.lax.shift_right_logical(b1, 8).astype(jnp.float32) + 1.0) * (1.0 / (1 << 24))  # (0, 1]
+    u2 = jax.lax.shift_right_logical(b2, 8).astype(jnp.float32) * (1.0 / (1 << 24))          # [0, 1)
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    return r * jnp.cos((2.0 * np.pi) * u2)
+
+
+def _reparam_fwd_kernel(seed_ref, mu_ref, lv_ref, z_ref, kl_ref):
+    i = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0] + i)
+    mu = mu_ref[:].astype(jnp.float32)
+    lv = lv_ref[:].astype(jnp.float32)
+    eps = _normal_from_bits(mu.shape)
+    z_ref[:] = (mu + jnp.exp(0.5 * lv) * eps).astype(z_ref.dtype)
+    part = -0.5 * jnp.sum(1.0 + lv - mu * mu - jnp.exp(lv))
+
+    @pl.when(i == 0)
+    def _():
+        kl_ref[0, 0] = part
+
+    @pl.when(i > 0)
+    def _():
+        kl_ref[0, 0] = kl_ref[0, 0] + part
+
+
+def _reparam_bwd_kernel(seed_ref, mu_ref, lv_ref, gz_ref, gkl_ref, dmu_ref, dlv_ref):
+    i = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0] + i)
+    mu = mu_ref[:].astype(jnp.float32)
+    lv = lv_ref[:].astype(jnp.float32)
+    gz = gz_ref[:].astype(jnp.float32)
+    gkl = gkl_ref[0]
+    eps = _normal_from_bits(mu.shape)  # identical replay of the forward stream
+    # z = mu + exp(lv/2) eps ; KL = -0.5 sum(1 + lv - mu^2 - e^lv)
+    dmu_ref[:] = (gz + gkl * mu).astype(dmu_ref.dtype)
+    dlv_ref[:] = (gz * 0.5 * jnp.exp(0.5 * lv) * eps
+                  + gkl * (-0.5) * (1.0 - jnp.exp(lv))).astype(dlv_ref.dtype)
+
+
+@jax.custom_vjp
+def reparam_kl(mu, log_var, seed):
+    """Returns (z, kl_sum): z = mu + exp(0.5*log_var)*eps with in-kernel eps, and
+    the reference's batch-AND-dims summed KL (README.md:822-825) from the same pass."""
+    (z, kl), _ = _reparam_fwd(mu, log_var, seed)
+    return z, kl
+
+
+def _reparam_fallback(mu, log_var, seed):
+    k = jax.random.fold_in(jax.random.key(1), seed)
+    eps = jax.random.normal(k, mu.shape, jnp.float32)
+    lv = log_var.astype(jnp.float32)
+    muf = mu.astype(jnp.float32)
+    z = (muf + jnp.exp(0.5 * lv) * eps).astype(mu.dtype)
+    kl = -0.5 * jnp.sum(1.0 + lv - jnp.square(muf) - jnp.exp(lv))
+    return z, kl
+
+
+def _reparam_fwd(mu, log_var, seed):
+    c = mu.shape[-1]
+    if not _use_pallas(c):
+        z, kl = _reparam_fallback(mu, log_var, seed)
+        return (z, kl), (mu, log_var, seed)
+    mu2, shape = _flatten2d(mu)
+    lv2, _ = _flatten2d(log_var)
+    mu2, m = _pad_m(mu2, _BLOCK_M)
+    # pad log_var with 0 and mu with 0: padded rows contribute -0.5*(1+0-0-1)=0 to KL
+    lv2, _ = _pad_m(lv2, _BLOCK_M)
+    grid = mu2.shape[0] // _BLOCK_M
+    z, kl = pl.pallas_call(
+        _reparam_fwd_kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((_BLOCK_M, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BLOCK_M, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((_BLOCK_M, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(mu2.shape, mu.dtype),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ),
+    )(jnp.asarray([seed], jnp.int32), mu2, lv2)
+    return (z[:m].reshape(shape), kl[0, 0]), (mu, log_var, seed)
+
+
+def _reparam_bwd(res, cts):
+    mu, log_var, seed = res
+    gz, gkl = cts
+    c = mu.shape[-1]
+    if not _use_pallas(c):
+        def f(mu, lv):
+            z, kl = _reparam_fallback(mu, lv, seed)
+            return z, kl
+        _, vjp = jax.vjp(f, mu, log_var)
+        dmu, dlv = vjp((gz, gkl))
+        return dmu, dlv, None
+    mu2, shape = _flatten2d(mu)
+    lv2, _ = _flatten2d(log_var)
+    gz2, _ = _flatten2d(gz)
+    mu2, m = _pad_m(mu2, _BLOCK_M)
+    lv2, _ = _pad_m(lv2, _BLOCK_M)
+    gz2, _ = _pad_m(gz2, _BLOCK_M)
+    grid = mu2.shape[0] // _BLOCK_M
+    dmu, dlv = pl.pallas_call(
+        _reparam_bwd_kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((_BLOCK_M, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BLOCK_M, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BLOCK_M, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((_BLOCK_M, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BLOCK_M, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(mu2.shape, mu.dtype),
+            jax.ShapeDtypeStruct(mu2.shape, log_var.dtype),
+        ),
+    )(jnp.asarray([seed], jnp.int32), mu2, lv2, gz2,
+      jnp.asarray([gkl], jnp.float32))
+    return dmu[:m].reshape(shape), dlv[:m].reshape(shape), None
+
+
+reparam_kl.defvjp(_reparam_fwd, _reparam_bwd)
+
+
+# ===========================================================================
+# fused L1 + MSE reconstruction loss
+# ===========================================================================
+
+def _recon_fwd_kernel(r_ref, t_ref, out_ref):
+    i = pl.program_id(0)
+    d = r_ref[:].astype(jnp.float32) - t_ref[:].astype(jnp.float32)
+    l1 = jnp.sum(jnp.abs(d))
+    l2 = jnp.sum(d * d)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[0, 0] = l1
+        out_ref[0, 1] = l2
+
+    @pl.when(i > 0)
+    def _():
+        out_ref[0, 0] = out_ref[0, 0] + l1
+        out_ref[0, 1] = out_ref[0, 1] + l2
+
+
+@jax.custom_vjp
+def recon_loss_sums(recon, target):
+    """One fused pass -> (sum|d|, sum d^2); divide by element count outside for the
+    torch mean-reduced L1+MSE (README.md:818-819)."""
+    sums, _ = _recon_fwd(recon, target)
+    return sums
+
+
+def _recon_fwd(recon, target):
+    c = recon.shape[-1]
+    if not _use_pallas(c):
+        d = recon.astype(jnp.float32) - target.astype(jnp.float32)
+        return (jnp.stack([jnp.sum(jnp.abs(d)), jnp.sum(d * d)]), (recon, target))
+    r2, shape = _flatten2d(recon)
+    t2, _ = _flatten2d(target)
+    r2, m = _pad_m(r2, _BLOCK_M)
+    t2, _ = _pad_m(t2, _BLOCK_M)
+    grid = r2.shape[0] // _BLOCK_M
+    out = pl.pallas_call(
+        _recon_fwd_kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((_BLOCK_M, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BLOCK_M, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 2), jnp.float32),
+    )(r2, t2)
+    return out[0], (recon, target)
+
+
+def _recon_bwd(res, g):
+    recon, target = res
+    d = recon.astype(jnp.float32) - target.astype(jnp.float32)
+    # d/drecon [g0*sum|d| + g1*sum d^2] = g0*sign(d) + g1*2d
+    dr = g[0] * jnp.sign(d) + g[1] * 2.0 * d
+    return dr.astype(recon.dtype), (-dr).astype(target.dtype)
+
+
+recon_loss_sums.defvjp(_recon_fwd, _recon_bwd)

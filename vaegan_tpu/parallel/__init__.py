@@ -1,0 +1,12 @@
+from vaegan_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    make_parallel_train_step,
+    replicate_state,
+    replicated,
+)
+
+__all__ = [
+    "make_mesh", "batch_sharding", "replicated", "replicate_state",
+    "make_parallel_train_step",
+]

@@ -1,0 +1,74 @@
+"""Device mesh + sharding rules: data parallelism over ICI.
+
+The reference is strictly single-device (``cuda:0``, README.md:694; no
+DataParallel/DDP anywhere — SURVEY.md §2.3). The TPU-native scaling story
+(BASELINE config 5) is GSPMD:
+
+- a 1-D (or 2-D, with a ``model`` axis reserved for future tensor parallelism)
+  ``jax.sharding.Mesh`` over the slice;
+- batches sharded along ``data``; params/optimizer state replicated;
+- the train step stays the *same pure function* — ``jit`` with sharding-annotated
+  inputs lets XLA insert the ICI collectives: global batch-norm statistics fall out
+  of ``jnp.mean`` over the sharded batch axis, and the gradient all-reduce falls out
+  of differentiating a replicated-param loss of sharded data. No hand-written
+  NCCL/MPI equivalents (SURVEY.md §2.4).
+
+A 1-device mesh is the degenerate case, so the single-chip and pod-slice paths are
+the same code.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vaegan_tpu.config import Config
+from vaegan_tpu.train.state import TrainState
+from vaegan_tpu.train.step import make_paper_train_step, make_train_step
+
+
+def make_mesh(num_data: int = -1, num_model: int = 1,
+              devices: Optional[Sequence[jax.Device]] = None,
+              data_axis: str = "data", model_axis: str = "model") -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if num_data == -1:
+        num_data = len(devices) // num_model
+    use = np.array(devices[: num_data * num_model]).reshape(num_data, num_model)
+    return Mesh(use, (data_axis, model_axis))
+
+
+def batch_sharding(mesh: Mesh, data_axis: str = "data") -> NamedSharding:
+    """NHWC batches sharded along the batch dim."""
+    return NamedSharding(mesh, P(data_axis, None, None, None))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def replicate_state(state: TrainState, mesh: Mesh) -> TrainState:
+    """Place every leaf of the state replicated across the mesh."""
+    return jax.device_put(state, replicated(mesh))
+
+
+def make_parallel_train_step(cfg: Config, mesh: Mesh, do_g_update: bool = True) -> Callable:
+    """pjit-compiled train step: state replicated (donated), batch data-sharded.
+
+    XLA emits the ICI all-reduces for gradients and cross-replica batch-norm
+    statistics from the sharding annotations alone.
+    """
+    if cfg.optim.scheme == "three":
+        step = make_paper_train_step(cfg)
+    else:
+        step = make_train_step(cfg, do_g_update=do_g_update)
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh, mesh.axis_names[0])
+    return jax.jit(
+        step,
+        in_shardings=(rep, bsh, rep),
+        out_shardings=(rep, rep),
+        donate_argnums=0,
+    )

@@ -1,0 +1,153 @@
+"""Hyperparameter random search (reference C16, README.md:1013-1198 — shipped there
+only as a commented-out HTML block; implemented here as a working subsystem).
+
+Faithful to the reference's scheme:
+- random configs over depth / length / lr / loss-weight / n_critics / critic-shape
+  grids with monotonicity filters (the reference's ``check_ascending`` — critic
+  feature lists must ascend, stride lists must be non-descending);
+- dedup against a persistent ``result/params.json`` registry
+  (``check_already_done`` / ``register_in_json``);
+- each trial runs a (short) experiment and archives the last sample grid under a
+  UUID (``result/archive/<uuid>.png``);
+- failed trials (OOM / runtime errors) are caught and recorded — the reference's
+  ``except OutOfMemoryError or RuntimeError`` bug (README.md:1193) only caught the
+  first class; here both (and XLA aborts) are handled.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from vaegan_tpu.config import Config, DiscriminatorConfig, GeneratorConfig
+
+# the reference's search grids (README.md:1028-1060)
+SEARCH_SPACE: Dict[str, List[Any]] = {
+    "network_depth": [1, 2, 3],
+    "network_length": [1, 2],
+    "feature_size": [32, 64],
+    "lr": [1e-4, 3e-4, 1e-3],
+    "adversarial_loss_weight": [0.0, 0.5, 1.0],
+    "reconstruction_loss_weight": [5.0, 10.0],
+    "kl_weight": [0.01, 0.1],
+    "n_critics": [1, 3, 5],
+    "num_stride_conv1": [1, 2],
+    "num_features_conv1": [32, 64],
+    "num_blocks": [[1, 1, 1], [2, 2, 2], [1, 1]],
+    "num_strides_res": [[1, 2, 2], [2, 2, 2], [1, 2]],
+    "num_features_res": [[64, 128, 256], [128, 256, 512], [64, 128]],
+}
+
+
+def check_ascending(seq) -> bool:
+    return all(a <= b for a, b in zip(seq, seq[1:]))
+
+
+def is_valid(params: Dict[str, Any]) -> bool:
+    """Monotonicity / consistency filters (reference README.md:1062-1090 idea)."""
+    nb, ns, nf = params["num_blocks"], params["num_strides_res"], params["num_features_res"]
+    if not (len(nb) == len(ns) == len(nf)):
+        return False
+    if not check_ascending(nf):
+        return False
+    if not check_ascending(ns):
+        return False
+    return True
+
+
+def make_random_params(rng: np.random.Generator) -> Dict[str, Any]:
+    while True:
+        params = {k: v[rng.integers(len(v))] for k, v in SEARCH_SPACE.items()}
+        params = {k: (list(v) if isinstance(v, (list, tuple)) else v)
+                  for k, v in params.items()}
+        if is_valid(params):
+            return params
+
+
+def check_already_done(params: Dict[str, Any], results_path) -> bool:
+    registry = _load_registry(results_path)
+    key = json.dumps(params, sort_keys=True)
+    return any(json.dumps(r.get("params", {}), sort_keys=True) == key for r in registry)
+
+
+def _load_registry(results_path) -> List[Dict[str, Any]]:
+    p = Path(results_path)
+    if p.exists():
+        with open(p) as f:
+            return json.load(f)
+    return []
+
+
+def register_in_json(entry: Dict[str, Any], results_path) -> None:
+    p = Path(results_path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    registry = _load_registry(p)
+    registry.append(entry)
+    with open(p, "w") as f:
+        json.dump(registry, f, indent=2)
+
+
+def params_to_config(base: Config, params: Dict[str, Any]) -> Config:
+    return base.replace(
+        generator=GeneratorConfig(
+            depth=params["network_depth"], length=params["network_length"],
+            feature_size=params["feature_size"]),
+        discriminator=DiscriminatorConfig(
+            num_stride_conv1=params["num_stride_conv1"],
+            num_features_conv1=params["num_features_conv1"],
+            num_blocks=tuple(params["num_blocks"]),
+            num_strides_res=tuple(params["num_strides_res"]),
+            num_features_res=tuple(params["num_features_res"])),
+        loss=base.loss.replace(
+            adversarial_weight=params["adversarial_loss_weight"],
+            reconstruction_weight=params["reconstruction_loss_weight"],
+            kl_weight=params["kl_weight"]),
+        optim=base.optim.replace(lr=params["lr"]),
+        train=base.train.replace(n_critics=params["n_critics"]),
+    )
+
+
+def random_search(base: Config, n_trials: int, results_path="result/params.json",
+                  archive_dir="result/archive", seed: int = 0) -> List[Dict[str, Any]]:
+    """Run ``n_trials`` random configurations; returns the registry entries added."""
+    import jax
+
+    from vaegan_tpu import inference
+    from vaegan_tpu.data.pipeline import make_loader
+    from vaegan_tpu.train.loop import train
+
+    rng = np.random.default_rng(seed)
+    Path(archive_dir).mkdir(parents=True, exist_ok=True)
+    added = []
+    for trial in range(n_trials):
+        params = make_random_params(rng)
+        if check_already_done(params, results_path):
+            continue
+        run_id = str(uuid.uuid4())
+        entry: Dict[str, Any] = {"id": run_id, "params": params}
+        try:
+            cfg = params_to_config(base, params)
+            state, logger = train(cfg)
+            loader = make_loader(cfg.data, seed=cfg.train.seed)
+            mse = inference.evaluate_mse(cfg, state, iter(loader))
+            entry["recon_mse"] = mse
+            entry["status"] = "ok"
+            # archive the last sample grid under the run UUID (README.md:1196 idea)
+            sample_dir = Path(cfg.train.sample_dir)
+            pngs = sorted(sample_dir.glob("*.png"),
+                          key=lambda p: int(p.stem)) if sample_dir.exists() else []
+            if pngs:
+                os.replace(pngs[-1], Path(archive_dir) / f"{run_id}.png")
+        except Exception as e:  # OOM, XLA aborts, shape errors — record and continue
+            entry["status"] = "failed"
+            entry["error"] = f"{type(e).__name__}: {e}"[:500]
+        register_in_json(entry, results_path)
+        added.append(entry)
+        print(f"[search {trial + 1}/{n_trials}] {entry['status']}"
+              + (f" mse={entry.get('recon_mse'):.4f}" if entry.get("recon_mse") else ""))
+    return added

@@ -31,6 +31,11 @@ from vaegan_tpu.train.step import make_paper_train_step, make_train_step
 from vaegan_tpu.utils.metrics import MetricsLogger
 
 
+class TrainingDiverged(RuntimeError):
+    """Raised by the opt-in NaN guard (failure detection the reference lacks —
+    its only resilience is a buggy OOM catch in the search script, README.md:1193)."""
+
+
 def make_sampler(cfg: Config) -> Callable:
     """jitted fn regenerating a step's gen_imgs (same rngs as the train step)."""
     gen, _ = build_models(cfg)
@@ -54,12 +59,16 @@ def train(
     logger: Optional[MetricsLogger] = None,
     sharding: Optional[Any] = None,
     step_fns: Optional[Tuple[Callable, Callable]] = None,
+    resume: bool = False,
 ) -> Tuple[TrainState, MetricsLogger]:
     """Run ``cfg.train.n_epochs`` of training; returns (final_state, logger).
 
     ``sharding``: optional jax.sharding.NamedSharding for batches (data parallel);
     ``step_fns``: optional (step_with_g, step_d_only) overrides (used by the
-    parallel module to supply pjit-compiled steps).
+    parallel module to supply pjit-compiled steps);
+    ``resume``: restore the latest checkpoint under ``cfg.train.checkpoint_dir``
+    and continue (skips already-completed steps) — restart/recovery support the
+    reference lacks entirely (SURVEY.md §5).
     """
     tcfg = cfg.train
     key = jax.random.key(tcfg.seed)
@@ -84,9 +93,13 @@ def train(
         step_d = jax.jit(make_train_step(cfg, do_g_update=False), donate_argnums=0)
 
     ckpt = None
+    start_step = 0
     if tcfg.checkpoint_dir:
         from vaegan_tpu.checkpoint import CheckpointManager
         ckpt = CheckpointManager(tcfg.checkpoint_dir)
+        if resume and ckpt.latest_step() is not None:
+            state = ckpt.restore(state)
+            start_step = int(jax.device_get(state.step))
 
     n_batches = len(loader) if hasattr(loader, "__len__") else -1
     global_step = 0
@@ -94,6 +107,9 @@ def train(
     for epoch in range(tcfg.n_epochs):
         it = device_prefetch(iter(loader), sharding, depth=cfg.data.prefetch)
         for i, batch in enumerate(it):
+            if global_step < start_step:  # resume fast-forward
+                global_step += 1
+                continue
             step_key = jax.random.fold_in(key, global_step)
             do_g = (i % tcfg.n_critics) == 0  # README.md:812
             batches_done = epoch * max(n_batches, 1) + i
@@ -104,6 +120,15 @@ def train(
             step = step_g if do_g else step_d
             state, metrics = step(state, batch, step_key)
             logger.log(epoch, tcfg.n_epochs, i, n_batches, metrics)
+            if tcfg.nan_check and (global_step + 1) % logger.flush_every == 0:
+                logger.flush()
+                last = logger.history[-1]
+                bad = [k for k, v in last.items() if v != v or abs(v) == float("inf")]
+                if bad:
+                    raise TrainingDiverged(
+                        f"non-finite metrics {bad} at epoch {epoch} batch {i} "
+                        f"(step {global_step}); last checkpoint: "
+                        f"{ckpt.latest_step() if ckpt else None}")
 
             if sample_imgs is not None:
                 from vaegan_tpu.utils.imaging import save_image_grid

@@ -14,7 +14,7 @@ import flax.struct
 import jax
 import jax.numpy as jnp
 
-from vaegan_tpu.config import Config
+from vaegan_tpu.config import Config, pallas_mode
 from vaegan_tpu.models import Discriminator, UnsupervisedGeneratorNetwork
 from vaegan_tpu.train.optim import build_optimizer
 
@@ -41,9 +41,18 @@ def _dtype(cfg: Config):
 def build_models(cfg: Config, axis_name=None) -> Tuple[UnsupervisedGeneratorNetwork, Discriminator]:
     dt = _dtype(cfg)
     gen = UnsupervisedGeneratorNetwork(
-        cfg=cfg.generator, init_scheme=cfg.train.init_scheme, dtype=dt, axis_name=axis_name)
+        cfg=cfg.generator, init_scheme=cfg.train.init_scheme, dtype=dt,
+        axis_name=axis_name, remat=cfg.train.remat,
+        use_pallas=pallas_mode(cfg.train.use_pallas) == "all",
+        fuse_reparam=pallas_mode(cfg.train.use_pallas) in ("losses", "all"))
+    # custom_vjp (the fused kernels) is not twice-differentiable; the WGAN gradient
+    # penalty takes grad-of-grad THROUGH the critic, so the critic only fuses when
+    # no GP is configured.
+    uses_gp = cfg.loss.adversarial == "wgan" and cfg.loss.lambda_gp > 0.0
     disc = Discriminator(
-        cfg=cfg.discriminator, init_scheme=cfg.train.init_scheme, dtype=dt, axis_name=axis_name)
+        cfg=cfg.discriminator, init_scheme=cfg.train.init_scheme, dtype=dt,
+        axis_name=axis_name, remat=cfg.train.remat,
+        use_pallas=pallas_mode(cfg.train.use_pallas) == "all" and not uses_gp)
     return gen, disc
 
 

@@ -40,7 +40,7 @@ import jax.numpy as jnp
 import optax
 
 from vaegan_tpu import losses
-from vaegan_tpu.config import Config
+from vaegan_tpu.config import Config, pallas_mode
 from vaegan_tpu.train.optim import build_optimizer
 from vaegan_tpu.train.state import TrainState, build_models
 
@@ -61,16 +61,27 @@ def make_train_step(cfg: Config, do_g_update: bool, axis_name=None) -> Callable:
     tx_d = build_optimizer(cfg.optim)
     lcfg = cfg.loss
     use_gp = lcfg.adversarial == "wgan" and lcfg.lambda_gp > 0.0
+    _pallas_losses = pallas_mode(cfg.train.use_pallas) in ("losses", "all")
 
     def step(state: TrainState, batch: jax.Array, key: jax.Array) -> Tuple[TrainState, Metrics]:
         k_gdrop, k_gnoise, k_dreal, k_dfake, k_dinterp, k_alpha, k_dgen = jax.random.split(key, 7)
         g_rngs = {"dropout": k_gdrop, "noise": k_gnoise}
 
-        # ---- generator forward, once (README.md:789) -------------------------
-        gvars = {"params": state.g_params, "batch_stats": state.g_stats}
-        (gen_imgs, mu, log_var), g_mut = gen.apply(
-            gvars, batch, train=True, rngs=g_rngs, mutable=["batch_stats"])
-        new_g_stats = g_mut["batch_stats"]
+        # ---- generator forward, ONCE (README.md:789) -------------------------
+        # Captured through jax.vjp so the G half can pull gradients back through
+        # this same forward without recomputing it (the reference reuses the same
+        # tensor with its autograd graph intact; this is the JAX equivalent).
+        def gen_forward(g_params):
+            (r, m, lv), mut = gen.apply(
+                {"params": g_params, "batch_stats": state.g_stats},
+                batch, train=True, rngs=g_rngs, mutable=["batch_stats"])
+            return (r, m, lv), mut["batch_stats"]
+
+        if do_g_update:
+            (gen_imgs, mu, log_var), gen_vjp, new_g_stats = jax.vjp(
+                gen_forward, state.g_params, has_aux=True)
+        else:
+            (gen_imgs, mu, log_var), new_g_stats = gen_forward(state.g_params)
         gen_imgs_sg = jax.lax.stop_gradient(gen_imgs)
 
         # ---- discriminator half ---------------------------------------------
@@ -115,13 +126,11 @@ def make_train_step(cfg: Config, do_g_update: bool, axis_name=None) -> Callable:
 
         # ---- generator half (README.md:812-834) ------------------------------
         if do_g_update:
-            def g_loss_fn(g_params):
-                # identical rng keys -> bitwise-identical recompute of gen_imgs,
-                # now differentiable w.r.t. g_params (the reference reuses the
-                # same tensor with its autograd graph intact)
-                (g_imgs, mu2, lv2), _ = gen.apply(
-                    {"params": g_params, "batch_stats": state.g_stats},
-                    batch, train=True, rngs=g_rngs, mutable=["batch_stats"])
+            def g_loss_fn(gen_outputs):
+                # differentiated w.r.t. the generator OUTPUTS; the cotangents are
+                # then pulled back through the stored gen_vjp — one generator
+                # forward per step total
+                g_imgs, mu2, lv2 = gen_outputs
                 want_feats = lcfg.reconstruction == "dis_l"
                 no_adv = lcfg.adversarial == "none" or lcfg.adversarial_weight == 0.0
                 if no_adv and not want_feats:
@@ -149,6 +158,10 @@ def make_train_step(cfg: Config, do_g_update: bool, axis_name=None) -> Callable:
                         return_features=True)
                     recon = losses.feature_matching_loss(
                         jax.lax.stop_gradient(real_feats), feats)
+                elif _pallas_losses:
+                    from vaegan_tpu.ops.pallas_fused import recon_loss_sums
+                    sums = recon_loss_sums(g_imgs, batch)
+                    recon = (sums[0] + sums[1]) / g_imgs.size
                 else:
                     recon = losses.pixel_reconstruction_loss(g_imgs, batch)
                 kl = losses.kl_divergence(mu2, lv2, lcfg.kl_reduction)
@@ -157,8 +170,9 @@ def make_train_step(cfg: Config, do_g_update: bool, axis_name=None) -> Callable:
                           + lcfg.kl_weight * kl)
                 return g_loss, (d_mut2, adv, recon, kl)
 
-            (g_loss, (d_mut2, adv, recon, kl)), g_grads = jax.value_and_grad(
-                g_loss_fn, has_aux=True)(state.g_params)
+            (g_loss, (d_mut2, adv, recon, kl)), out_cts = jax.value_and_grad(
+                g_loss_fn, has_aux=True)((gen_imgs, mu, log_var))
+            (g_grads,) = gen_vjp(out_cts)
             if axis_name is not None:
                 g_grads = jax.lax.pmean(g_grads, axis_name)
             g_updates, new_opt_g = tx_g.update(g_grads, state.opt_g, state.g_params)

@@ -72,6 +72,26 @@ class JsonlSink:
             self._f = None
 
 
+class NeptuneSink:
+    """Streams the reference's exact Neptune channels (README.md:842-849) to a
+    ``neptune.init_run``-style object: ``run[key].append(value)``. The run object is
+    injected (the reference loads credentials from private/neptune.json,
+    README.md:771-773); works with any object implementing the mapping protocol."""
+
+    def __init__(self, run):
+        self.run = run
+
+    def write(self, epoch, n_epochs, batch, n_batches, metrics) -> None:
+        for key, channel in REFERENCE_KEYS.items():
+            if key in metrics:
+                self.run[channel].append(float(metrics[key]))
+
+    def close(self):
+        stop = getattr(self.run, "stop", None)
+        if callable(stop):
+            stop()  # README.md:856-857
+
+
 class MetricsLogger:
     """Buffers on-device metric dicts; flushes to sinks every ``flush_every`` steps.
 
