@@ -4,9 +4,11 @@ from vaegan_tpu.parallel.mesh import (
     make_parallel_train_step,
     replicate_state,
     replicated,
+    shard_state,
+    state_shardings,
 )
 
 __all__ = [
     "make_mesh", "batch_sharding", "replicated", "replicate_state",
-    "make_parallel_train_step",
+    "shard_state", "state_shardings", "make_parallel_train_step",
 ]

@@ -49,13 +49,48 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def state_shardings(state: TrainState, mesh: Mesh, model_axis: str = "model") -> TrainState:
+    """Per-leaf NamedShardings for a TrainState.
+
+    Default: everything replicated (pure data parallelism). When the mesh has a
+    non-trivial ``model`` axis, the critic's dense-head kernels (the reference's
+    131072x1024 linear holds 96% of its parameters, README.md:458 / SURVEY.md C7)
+    are sharded along their output-features dim — tensor parallelism for the only
+    TP-worthy tensors in the model (SURVEY.md §2.3). The matching optimizer-state
+    leaves shard identically (their tree paths mirror the param paths), and GSPMD
+    derives the partitioned matmuls + collectives.
+    """
+    rep = P()
+    tp = mesh.shape.get(model_axis, 1) > 1
+
+    n_model = mesh.shape.get(model_axis, 1)
+
+    def rule(path, leaf):
+        if tp and hasattr(leaf, "ndim") and leaf.ndim == 2 and leaf.shape[-1] % n_model == 0:
+            keys = [str(getattr(p, "key", "")) for p in path]
+            if any(k.startswith("linear_") for k in keys) and keys and keys[-1] == "kernel":
+                return NamedSharding(mesh, P(None, model_axis))
+        return NamedSharding(mesh, rep)
+
+    return jax.tree_util.tree_map_with_path(rule, state)
+
+
+def shard_state(state: TrainState, mesh: Mesh) -> TrainState:
+    """Place the state per ``state_shardings`` (replicated, or TP for the critic
+    head when the mesh has a model axis)."""
+    return jax.device_put(state, state_shardings(state, mesh))
+
+
 def replicate_state(state: TrainState, mesh: Mesh) -> TrainState:
-    """Place every leaf of the state replicated across the mesh."""
-    return jax.device_put(state, replicated(mesh))
+    """Place every leaf of the state according to the mesh (see shard_state)."""
+    return shard_state(state, mesh)
 
 
-def make_parallel_train_step(cfg: Config, mesh: Mesh, do_g_update: bool = True) -> Callable:
-    """pjit-compiled train step: state replicated (donated), batch data-sharded.
+def make_parallel_train_step(cfg: Config, mesh: Mesh, do_g_update: bool = True,
+                             state_spec: Optional[TrainState] = None) -> Callable:
+    """pjit-compiled train step: batch sharded along the data axis, params/opt
+    state placed per ``state_shardings`` (replicated, plus TP of the critic head
+    over the model axis when present) and donated.
 
     XLA emits the ICI all-reduces for gradients and cross-replica batch-norm
     statistics from the sharding annotations alone.
@@ -66,9 +101,17 @@ def make_parallel_train_step(cfg: Config, mesh: Mesh, do_g_update: bool = True) 
         step = make_train_step(cfg, do_g_update=do_g_update)
     rep = replicated(mesh)
     bsh = batch_sharding(mesh, mesh.axis_names[0])
+    if state_spec is None:
+        # shardings need leaf structure; jit infers out_shardings from inputs when
+        # we pass AUTO-like replicated specs — build from an abstract state
+        in_state = rep
+        out_state = rep
+    else:
+        in_state = state_spec
+        out_state = state_spec
     return jax.jit(
         step,
-        in_shardings=(rep, bsh, rep),
-        out_shardings=(rep, rep),
+        in_shardings=(in_state, bsh, rep),
+        out_shardings=(out_state, rep),
         donate_argnums=0,
     )

@@ -64,6 +64,11 @@ def make_train_step(cfg: Config, do_g_update: bool, axis_name=None) -> Callable:
     _pallas_losses = pallas_mode(cfg.train.use_pallas) in ("losses", "all")
 
     def step(state: TrainState, batch: jax.Array, key: jax.Array) -> Tuple[TrainState, Metrics]:
+        if axis_name is not None:
+            # shard_map/pmap path: per-replica RNG so dropout masks / noise differ
+            # across the per-shard batches (under GSPMD the global-shape RNG is
+            # already correct and axis_name is None)
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         k_gdrop, k_gnoise, k_dreal, k_dfake, k_dinterp, k_alpha, k_dgen = jax.random.split(key, 7)
         g_rngs = {"dropout": k_gdrop, "noise": k_gnoise}
 
