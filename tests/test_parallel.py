@@ -142,3 +142,22 @@ class TestTensorParallel:
         l2 = jax.tree.leaves(jax.device_get(s2.d_params))
         for a, b in zip(l1, l2):
             np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-5)
+
+
+class TestSpatialSharding:
+    def test_spatially_sharded_forward_is_exact(self):
+        """Resolution is this model's sequence axis (SURVEY.md §2.3): sharding H
+        over a mesh axis must be numerically exact (GSPMD conv halo exchange)."""
+        from vaegan_tpu.models import UnsupervisedGeneratorNetwork
+        mesh = make_mesh(num_data=2, num_model=4, model_axis="spatial")
+        gen = UnsupervisedGeneratorNetwork(cfg=GeneratorConfig(depth=1, length=1, feature_size=8))
+        x = jax.random.uniform(jax.random.key(0), (4, 32, 32, 1))
+        v = gen.init({"params": jax.random.key(1), "dropout": jax.random.key(2),
+                      "noise": jax.random.key(3)}, x, train=False)
+        ref = gen.apply(v, x, train=False)[0]
+        bs = batch_sharding(mesh, "data", spatial_axis="spatial")
+        out = jax.jit(
+            lambda v, x: gen.apply(v, x, train=False)[0],
+            in_shardings=(NamedSharding(mesh, P()), bs),
+        )(jax.device_put(v, NamedSharding(mesh, P())), jax.device_put(x, bs))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)

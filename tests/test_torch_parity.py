@@ -280,3 +280,80 @@ class TestPhaseDecomposedConvT:
             conv_mod.PHASE_DECOMPOSE_CONV_TRANSPOSE = False
         assert got.shape == ref.shape == (2, 18, 18, 8)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+class TestDiscriminatorParity:
+    def test_full_critic_eval_with_imported_torch_weights(self):
+        """Build the reference critic in torch (SN convs + BN + linears), import its
+        state_dict through interop (incl. the flatten-order permutation of the
+        first linear), and compare eval-mode logits."""
+        import torch.nn as tnn
+
+        class TorchBlock(tnn.Module):
+            # matches ResBlockDiscriminator pre-activation semantics with our names
+            def __init__(self, cin, cout, stride):
+                super().__init__()
+                self.bn1 = tnn.BatchNorm2d(cin)
+                self.conv1 = torch.nn.utils.spectral_norm(
+                    tnn.Conv2d(cin, cout, 3, stride, 1, bias=False))
+                self.bn2 = tnn.BatchNorm2d(cout)
+                self.conv2 = torch.nn.utils.spectral_norm(
+                    tnn.Conv2d(cout, cout, 3, 1, 1, bias=False))
+                self.need_sc = stride != 1 or cin != cout
+                if self.need_sc:
+                    self.shortcut_conv = torch.nn.utils.spectral_norm(
+                        tnn.Conv2d(cin, cout, 1, stride, bias=False))
+                    self.shortcut_bn = tnn.BatchNorm2d(cout)
+
+            def forward(self, x):
+                sc = self.shortcut_bn(self.shortcut_conv(x)) if self.need_sc else x
+                h = TF.leaky_relu(self.bn1(x), 0.2)
+                h = self.conv1(h)
+                h = TF.leaky_relu(self.bn2(h), 0.2)
+                h = self.conv2(h)
+                return h + sc
+
+        class TorchCritic(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.conv1 = tnn.Conv2d(1, 8, 3, 1, 1, bias=False)
+                self.bn1 = tnn.BatchNorm2d(8)
+                self.res_layers_0_0 = TorchBlock(8, 16, 2)
+                self.linear_1 = tnn.Linear(16 * 4 * 4, 16)
+                self.linear_2 = tnn.Linear(16, 8)
+                self.linear_3 = tnn.Linear(8, 8)
+                self.linear_4 = tnn.Linear(8, 1)
+
+            def forward(self, x):
+                h = TF.leaky_relu(self.bn1(self.conv1(x)), 0.2)
+                h = self.res_layers_0_0(h)
+                h = TF.avg_pool2d(h, 2)
+                h = h.flatten(1)
+                for lin in (self.linear_1, self.linear_2, self.linear_3):
+                    h = TF.leaky_relu(lin(h), 0.2)
+                return self.linear_4(h)
+
+        torch.manual_seed(3)
+        m = TorchCritic()
+        # randomize BN stats so eval mode is a real test
+        for mod in m.modules():
+            if isinstance(mod, tnn.BatchNorm2d):
+                mod.running_mean.uniform_(-0.5, 0.5)
+                mod.running_var.uniform_(0.5, 2.0)
+        m.eval()
+        x = torch.randn(2, 1, 16, 16)
+        ref = m(x)
+
+        from vaegan_tpu.config import DiscriminatorConfig
+        from vaegan_tpu.models import Discriminator
+        cfg = DiscriminatorConfig(
+            num_stride_conv1=1, num_features_conv1=8, num_blocks=(1,),
+            num_strides_res=(2,), num_features_res=(16,), pool_size=2,
+            linear_widths=(16, 8, 8))
+        disc = Discriminator(cfg=cfg)
+        variables = interop.torch_state_dict_to_variables(
+            m.state_dict(), first_linear="linear_1", pool_shape=(16, 4, 4))
+        variables = jax.tree.map(jnp.asarray, variables)
+        out = disc.apply(variables, t2j_nhwc(x), train=False)
+        np.testing.assert_allclose(np.asarray(out), ref.detach().numpy(),
+                                   rtol=1e-4, atol=1e-4)

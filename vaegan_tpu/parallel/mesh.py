@@ -40,8 +40,18 @@ def make_mesh(num_data: int = -1, num_model: int = 1,
     return Mesh(use, (data_axis, model_axis))
 
 
-def batch_sharding(mesh: Mesh, data_axis: str = "data") -> NamedSharding:
-    """NHWC batches sharded along the batch dim."""
+def batch_sharding(mesh: Mesh, data_axis: str = "data",
+                   spatial_axis: Optional[str] = None) -> NamedSharding:
+    """NHWC batches sharded along the batch dim, optionally also along H.
+
+    ``spatial_axis`` is the framework's sequence/context-parallel analogue
+    (SURVEY.md §2.3): the model has no sequence dimension, but image resolution is
+    the equivalent scaling axis — sharding H over a mesh axis lets a single image
+    batch exceed one chip's HBM (e.g. 256²+ at depth 2). GSPMD inserts the conv
+    halo exchanges; verified numerically identical to the unsharded forward.
+    """
+    if spatial_axis is not None:
+        return NamedSharding(mesh, P(data_axis, spatial_axis, None, None))
     return NamedSharding(mesh, P(data_axis, None, None, None))
 
 
