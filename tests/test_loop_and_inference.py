@@ -192,3 +192,21 @@ class TestNanGuard:
         monkeypatch.setattr(loop_mod, "make_train_step", poisoned)
         with pytest.raises(loop_mod.TrainingDiverged, match="non-finite"):
             train(cfg)
+
+
+class TestReproducibility:
+    def test_same_seed_same_params(self, tmp_path):
+        cfg = tiny_cfg(tmp_path)
+        s1, _ = train(cfg)
+        s2, _ = train(cfg)
+        for a, b in zip(jax.tree.leaves(jax.device_get(s1.g_params)),
+                        jax.tree.leaves(jax.device_get(s2.g_params))):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_different_seed_different_params(self, tmp_path):
+        cfg = tiny_cfg(tmp_path)
+        s1, _ = train(cfg)
+        s2, _ = train(cfg.replace(train=cfg.train.replace(seed=1)))
+        assert not np.allclose(
+            np.asarray(jax.tree.leaves(jax.device_get(s1.g_params))[0]),
+            np.asarray(jax.tree.leaves(jax.device_get(s2.g_params))[0]))
