@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 
 def main() -> None:
-    batch_size = int(os.environ.get("BENCH_BATCH", 256))
+    batch_size = int(os.environ.get("BENCH_BATCH", 128))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     n_steps = int(os.environ.get("BENCH_STEPS", 20))
     image = int(os.environ.get("BENCH_IMAGE", 96))

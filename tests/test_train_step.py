@@ -139,3 +139,16 @@ class TestPaperStep:
             state, m = step(state, b, jax.random.key(5 + i))
             vals.append(float(m["recon_loss"]))
         assert all(np.isfinite(vals))
+
+
+class TestCriticBatching:
+    def test_concat_mode_runs_and_default_is_separate(self):
+        from vaegan_tpu.config import Config
+        assert Config().train.critic_batching == "separate"  # reference semantics
+        cfg = tiny_config()
+        cfg = cfg.replace(train=cfg.train.replace(critic_batching="concat"))
+        state = create_train_state(cfg, jax.random.key(0))
+        step = jax.jit(make_train_step(cfg, do_g_update=True))
+        state, m = step(state, batch_of(cfg, jax.random.key(1)), jax.random.key(2))
+        for k, v in m.items():
+            assert np.isfinite(float(v)), k

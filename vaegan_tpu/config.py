@@ -164,6 +164,12 @@ class TrainConfig(_Replaceable):
     init_scheme: str = "reference"     # faithful init quirks (README.md:700-707) | "clean"
     nan_check: bool = False            # per-flush finite-metrics check (forces a host
     # sync at the flush cadence; raises TrainingDiverged with step context)
+    # critic real/fake scoring: "separate" = one apply per batch, torch-reference
+    # BN semantics (each apply normalizes with its own batch statistics,
+    # README.md:792-793); "concat" = single apply over concat(real, fake) — fewer,
+    # larger kernels (faster), BN stats over the mixed batch (a documented
+    # deviation many GAN implementations use)
+    critic_batching: str = "separate"
 
 
 @dataclass(frozen=True)

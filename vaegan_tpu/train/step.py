@@ -99,8 +99,15 @@ def make_train_step(cfg: Config, do_g_update: bool, axis_name=None) -> Callable:
                     rngs={"dropout": k}, mutable=["batch_stats", "spectral"])
                 return logits, {"batch_stats": mut["batch_stats"], "spectral": mut["spectral"]}
 
-            real_logits, st = d_apply(batch, dstate, k_dreal)
-            fake_logits, st = d_apply(gen_imgs_sg, st, k_dfake)
+            if cfg.train.critic_batching == "concat":
+                b = batch.shape[0]
+                both, st = d_apply(
+                    jnp.concatenate([batch, gen_imgs_sg.astype(batch.dtype)], axis=0),
+                    dstate, k_dreal)
+                real_logits, fake_logits = both[:b], both[b:]
+            else:
+                real_logits, st = d_apply(batch, dstate, k_dreal)
+                fake_logits, st = d_apply(gen_imgs_sg, st, k_dfake)
 
             if lcfg.adversarial == "bce":
                 real_loss = losses.bce_with_logits(real_logits, 1.0)
