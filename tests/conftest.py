@@ -18,6 +18,11 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 # keep test numerics deterministic and fp32-exact
 jax.config.update("jax_default_matmul_precision", "highest")
+# persistent compile cache: the WGAN-GP grad-of-grad steps dominate suite time;
+# repeat runs hit the cache (first run still compiles)
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import pytest  # noqa: E402
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 import dataclasses
 import json
 from dataclasses import dataclass, field
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 
 def pallas_mode(v) -> str:
@@ -280,10 +280,6 @@ def preset(name: str) -> Config:
             train=base.train.replace(dtype="bfloat16"),
         )
     raise ValueError(f"unknown preset {name!r}")
-
-
-def _dataclass_from(cls, d):
-    return cls(**d)
 
 
 # patch from_dict to build nested dataclasses properly

@@ -22,7 +22,7 @@ import gzip
 import os
 import struct
 from pathlib import Path
-from typing import Optional, Tuple, Union
+from typing import Optional, Union
 
 import numpy as np
 

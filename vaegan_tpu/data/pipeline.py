@@ -19,7 +19,7 @@ import os
 import threading
 import queue
 from pathlib import Path
-from typing import Iterator, List, Optional, Sequence
+from typing import Iterator, List, Sequence
 
 import jax
 import numpy as np

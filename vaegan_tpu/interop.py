@@ -129,9 +129,6 @@ def torch_state_dict_to_variables(
         else:
             raise ValueError(f"unhandled state_dict entry {key!r}")
 
-    # BN biases currently sit in params as {"bias"}, but BN scale went to "scale";
-    # disambiguate: a module with a "scale" key keeps its bias alongside (correct);
-    # nothing further to do — conv biases also live as {"bias"}.
     out: Dict[str, Any] = {}
     if params:
         out["params"] = params

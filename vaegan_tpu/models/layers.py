@@ -11,7 +11,7 @@ These exist (instead of ``flax.linen.Conv``/``BatchNorm``) so that:
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple, Union
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax

@@ -22,7 +22,7 @@ so torch checkpoints map 1:1 (see vaegan_tpu.interop).
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -31,7 +31,6 @@ import jax.numpy as jnp
 from vaegan_tpu.config import DiscriminatorConfig, GeneratorConfig
 from vaegan_tpu.models.blocks import ResBlockDiscriminator, ResBlockVAE
 from vaegan_tpu.models.layers import BatchNorm, Conv2D, Linear, leaky_relu
-from vaegan_tpu.ops import initializers as inits
 from vaegan_tpu.ops.conv import avg_pool
 
 Dtype = Any

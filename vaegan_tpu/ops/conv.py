@@ -13,7 +13,7 @@ the form the TPU conv emitter pattern-matches best, and it reproduces
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple, Union
+from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp

@@ -23,8 +23,6 @@ fallback for tests.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -123,7 +121,6 @@ def _bn_fallback(x, mean, var, scale, bias, seed, slope, p):
     a = (x.astype(jnp.float32) - mean) * (inv * scale) + bias
     l = jnp.where(a >= 0, a, a * slope)
     if p > 0.0:
-        key = jax.random.key_from_seed if False else None
         k = jax.random.fold_in(jax.random.key(0), seed)
         keep = jax.random.bernoulli(k, 1.0 - p, l.shape)
         l = jnp.where(keep, l / (1.0 - p), 0.0)

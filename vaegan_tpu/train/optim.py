@@ -13,7 +13,7 @@ while torch computes ``g / (sqrt(nu) + eps)``, and optax has no coupled L2 term.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -5,8 +5,6 @@ with 2px padding, write PNG."""
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 
