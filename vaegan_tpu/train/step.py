@@ -217,7 +217,9 @@ def make_paper_train_step(cfg: Config, axis_name=None) -> Callable:
     theta_Dec <- grad (gamma * L_llike - L_GAN)
     theta_Dis <- grad (L_GAN)
 
-    Implemented as three grads inside one jit — XLA CSEs the shared forwards.
+    Implemented as ONE backward of a combined scalar whose per-group terms see the
+    other groups through stop_gradient — primal-identical forwards CSE to a single
+    forward, and each group receives exactly its own loss's gradient.
     """
     gen, disc = build_models(cfg, axis_name)
     tx = build_optimizer(cfg.optim)
@@ -232,6 +234,8 @@ def make_paper_train_step(cfg: Config, axis_name=None) -> Callable:
         return {**enc, **dec}
 
     def step(state: TrainState, batch: jax.Array, key: jax.Array) -> Tuple[TrainState, Metrics]:
+        if axis_name is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         k_gdrop, k_gnoise, k_prior, k_dr, k_df, k_dp = jax.random.split(key, 6)
         g_rngs = {"dropout": k_gdrop, "noise": k_gnoise}
         enc0, dec0 = split_g(state.g_params)
