@@ -357,3 +357,75 @@ class TestDiscriminatorParity:
         out = disc.apply(variables, t2j_nhwc(x), train=False)
         np.testing.assert_allclose(np.asarray(out), ref.detach().numpy(),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestInteropReferenceNaming:
+    def test_sequential_shortcut_and_upsample_mapping(self):
+        """The reference stores shortcuts as Sequential(conv, bn) -> keys
+        'shortcut.0.weight' / 'shortcut.1.*', and upsample blocks hold
+        ConvTranspose2d weights (I, O, KH, KW). interop must map both."""
+        import torch.nn as tnn
+
+        conv_t = tnn.ConvTranspose2d(8, 4, 4, 2, 1, bias=False)
+        bn = tnn.BatchNorm2d(4)
+        bn.running_mean.uniform_(-1, 1)
+        sd = {
+            "decoder-depth_1-upsample.shortcut.0.weight": conv_t.weight,
+            "decoder-depth_1-upsample.shortcut.1.weight": bn.weight,
+            "decoder-depth_1-upsample.shortcut.1.bias": bn.bias,
+            "decoder-depth_1-upsample.shortcut.1.running_mean": bn.running_mean,
+            "decoder-depth_1-upsample.shortcut.1.running_var": bn.running_var,
+            "decoder-depth_1-upsample.shortcut.1.num_batches_tracked": torch.zeros((), dtype=torch.long),
+        }
+        var = interop.torch_state_dict_to_variables(sd)
+        blk = var["params"]["decoder-depth_1-upsample"]
+        assert blk["shortcut_conv"]["kernel"].shape == (4, 4, 8, 4)  # HWIO, I=8
+        assert blk["shortcut_bn"]["scale"].shape == (4,)
+        np.testing.assert_array_equal(
+            var["batch_stats"]["decoder-depth_1-upsample"]["shortcut_bn"]["mean"],
+            bn.running_mean.numpy())
+        # the convT kernel consumed by our conv_transpose2d must reproduce torch
+        x = torch.randn(1, 8, 5, 5)
+        ref = TF.conv_transpose2d(x, conv_t.weight, stride=2, padding=1)
+        out = conv_transpose2d(t2j_nhwc(x), jnp.asarray(blk["shortcut_conv"]["kernel"]), 2, 1)
+        assert_close(out, ref)
+
+    def test_full_vae_block_import_roundtrip(self):
+        """A torch module laid out exactly like the reference's ResBlockVAE
+        (bn1/conv1/bn2/conv2/shortcut Sequential) imports into our block and
+        produces the same eval output."""
+        import torch.nn as tnn
+
+        class RefBlock(tnn.Module):
+            def __init__(self, cin, cout):
+                super().__init__()
+                self.bn1 = tnn.BatchNorm2d(cin)
+                self.conv1 = tnn.Conv2d(cin, cout, 3, 1, 1, bias=False)
+                self.bn2 = tnn.BatchNorm2d(cout)
+                self.conv2 = tnn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+                self.shortcut = tnn.Sequential(
+                    tnn.Conv2d(cin, cout, 3, 1, 1, bias=False), tnn.BatchNorm2d(cout))
+
+            def forward(self, x):
+                out = TF.leaky_relu(self.bn1(x), 0.01)
+                out = self.conv1(out)
+                out = TF.leaky_relu(self.bn2(out), 0.01)
+                out = self.conv2(out)
+                return out + self.shortcut(x)
+
+        torch.manual_seed(5)
+        m = RefBlock(4, 6)
+        for mod in m.modules():
+            if isinstance(mod, tnn.BatchNorm2d):
+                mod.running_mean.uniform_(-0.5, 0.5)
+                mod.running_var.uniform_(0.5, 2.0)
+        m.eval()
+        x = torch.randn(2, 4, 8, 8)
+        ref = m(x)
+
+        from vaegan_tpu.models.blocks import ResBlockVAE
+        blk = ResBlockVAE(out_channels=6, mode="level")
+        variables = jax.tree.map(jnp.asarray,
+                                 interop.torch_state_dict_to_variables(m.state_dict()))
+        out = blk.apply(variables, t2j_nhwc(x), train=False)
+        assert_close(out, ref, rtol=1e-4, atol=1e-4)

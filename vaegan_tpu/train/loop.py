@@ -143,5 +143,11 @@ def train(
         ckpt.save(state, force=True)
         ckpt.wait()
     elapsed = time.time() - t0
-    logger.history.append({"_wall_s": elapsed, "_steps": global_step})
+    executed = global_step - start_step
+    logger.history.append({
+        "_wall_s": elapsed,
+        "_steps": executed,
+        "_steps_per_sec": executed / max(elapsed, 1e-9),
+        "_images_per_sec": executed * cfg.data.batch_size / max(elapsed, 1e-9),
+    })
     return state, logger
