@@ -161,3 +161,25 @@ class TestSpatialSharding:
             in_shardings=(NamedSharding(mesh, P()), bs),
         )(jax.device_put(v, NamedSharding(mesh, P())), jax.device_put(x, bs))
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+class TestTrainDataParallel:
+    def test_one_call_dp_training(self, tmp_path):
+        """train_data_parallel: BASELINE config 5's shape on the virtual mesh."""
+        from vaegan_tpu.parallel.train import train_data_parallel
+        cfg = tiny_cfg()
+        cfg = cfg.replace(
+            data=cfg.data.replace(batch_size=16, synthetic=True, synthetic_size=32),
+            train=cfg.train.replace(n_epochs=1, sample_interval=10,
+                                    sample_dir=str(tmp_path / "s")))
+        state, logger = train_data_parallel(cfg)
+        assert int(jax.device_get(state.step)) == 2  # 32 imgs / batch 16
+        h = [m for m in logger.history if "_wall_s" not in m]
+        assert len(h) == 2 and all(np.isfinite(v) for m in h for v in m.values())
+
+    def test_batch_divisibility_error(self):
+        from vaegan_tpu.parallel.train import train_data_parallel
+        cfg = tiny_cfg()
+        cfg = cfg.replace(data=cfg.data.replace(batch_size=15, synthetic=True))
+        with pytest.raises(ValueError, match="divide"):
+            train_data_parallel(cfg)

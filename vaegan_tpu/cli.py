@@ -67,8 +67,12 @@ def cmd_train(args):
     sinks = [StdoutSink()]
     if args.metrics_jsonl:
         sinks.append(JsonlSink(args.metrics_jsonl))
-    state, logger = train(cfg, logger=MetricsLogger(sinks=sinks, flush_every=cfg.train.log_every),
-                          resume=getattr(args, "resume", False))
+    logger = MetricsLogger(sinks=sinks, flush_every=cfg.train.log_every)
+    if getattr(args, "dp", False):
+        from vaegan_tpu.parallel.train import train_data_parallel
+        state, logger = train_data_parallel(cfg, logger=logger)
+    else:
+        state, logger = train(cfg, logger=logger, resume=getattr(args, "resume", False))
     logger.close()
     print(f"done: {sum(1 for m in logger.history if '_wall_s' not in m)} steps")
     return 0
@@ -165,6 +169,8 @@ def main(argv=None) -> int:
     sp.add_argument("--metrics-jsonl", help="write metrics to this JSONL file")
     sp.add_argument("--resume", action="store_true",
                     help="restore the latest checkpoint and continue")
+    sp.add_argument("--dp", action="store_true",
+                    help="data-parallel over all visible devices (mesh from cfg.parallel)")
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("eval", help="reconstruction MSE on data batches")

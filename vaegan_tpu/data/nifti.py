@@ -177,7 +177,10 @@ def load_image(path: Union[str, Path], image_size: int, normalize: bool = True,
     img = read_nifti(path)
     img = np.squeeze(img)
     if img.ndim != 2:
-        img = img.reshape(img.shape[0], img.shape[1])
+        raise ValueError(
+            f"{path}: expected a 2-D image after squeezing, got shape {img.shape} — "
+            "the pipeline (like the reference's hand X-rays) is 2-D; slice volumes "
+            "upstream")
     if normalize:
         lo, hi = float(img.min()), float(img.max())
         img = (img - lo) / max(hi - lo, 1e-12)

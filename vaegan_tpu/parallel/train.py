@@ -1,0 +1,61 @@
+"""Data-parallel training entry: mesh + sharded steps + the standard loop, wired.
+
+BASELINE config 5 ("scaled 256x256 VAE-GAN, large batch, data-parallel over a TPU
+pod slice via ICI allreduce") as a one-call API:
+
+    from vaegan_tpu.parallel.train import train_data_parallel
+    state, logger = train_data_parallel(preset("vaegan_256_dp"))
+
+Builds the mesh from ``cfg.parallel`` (all visible devices by default), places the
+state per ``state_shardings`` (replicated params + TP critic head if a model axis
+is configured), compiles the two step variants with data-sharded batch inputs, and
+runs the standard loop — batches flow through ``device_prefetch`` straight into
+their sharded layout. Multi-host: call ``vaegan_tpu.parallel.dist.initialize``
+first; each process feeds its addressable shard.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+
+from vaegan_tpu.config import Config
+from vaegan_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    make_parallel_train_step,
+    shard_state,
+    state_shardings,
+)
+from vaegan_tpu.train.loop import train
+from vaegan_tpu.train.state import TrainState, create_train_state
+from vaegan_tpu.utils.metrics import MetricsLogger
+
+
+def train_data_parallel(
+    cfg: Config,
+    loader=None,
+    logger: Optional[MetricsLogger] = None,
+    mesh=None,
+) -> Tuple[TrainState, MetricsLogger]:
+    p = cfg.parallel
+    if mesh is None:
+        mesh = make_mesh(num_data=p.num_data, num_model=p.num_model,
+                         data_axis=p.data_axis, model_axis=p.model_axis)
+    n_data = mesh.shape[p.data_axis]
+    if cfg.data.batch_size % n_data != 0:
+        raise ValueError(
+            f"global batch {cfg.data.batch_size} must divide the data axis ({n_data})")
+
+    state = create_train_state(cfg, jax.random.key(cfg.train.seed))
+    spec = state_shardings(state, mesh, model_axis=p.model_axis)
+    state = jax.device_put(state, spec)
+    step_g = make_parallel_train_step(cfg, mesh, do_g_update=True, state_spec=spec)
+    step_d = make_parallel_train_step(cfg, mesh, do_g_update=False, state_spec=spec)
+
+    return train(
+        cfg, loader=loader, state=state, logger=logger,
+        sharding=batch_sharding(mesh, p.data_axis),
+        step_fns=(step_g, step_d),
+    )
