@@ -210,3 +210,52 @@ class TestReproducibility:
         assert not np.allclose(
             np.asarray(jax.tree.leaves(jax.device_get(s1.g_params))[0]),
             np.asarray(jax.tree.leaves(jax.device_get(s2.g_params))[0]))
+
+
+class TestResumeFastForward:
+    def test_skip_without_decode(self, tmp_path, monkeypatch):
+        """Resuming must not decode already-completed batches."""
+        from vaegan_tpu.data.pipeline import SyntheticDataset
+        decoded = []
+        orig = SyntheticDataset.load_batch
+        def counting(self, indices):
+            decoded.append(list(indices))
+            return orig(self, indices)
+        monkeypatch.setattr(SyntheticDataset, "load_batch", counting)
+
+        cfg = tiny_cfg(tmp_path, checkpoint_dir=str(tmp_path / "ck"), checkpoint_every=2)
+        train(cfg)  # 4 steps, 1 epoch
+        decoded.clear()
+        cfg2 = cfg.replace(train=cfg.train.replace(n_epochs=2))
+        state, logger = train(cfg2, resume=True)
+        assert int(jax.device_get(state.step)) == 8
+        # epoch 0 fully skipped via RNG replay: only the 4 batches of epoch 1 decoded
+        assert len(decoded) == 4, decoded
+
+    def test_partial_epoch_resume_offsets_batches(self, tmp_path):
+        """Resume mid-epoch: remaining batches decode from the right offset and
+        the sample/batch indexing stays aligned."""
+        cfg = tiny_cfg(tmp_path, checkpoint_dir=str(tmp_path / "ck2"), checkpoint_every=2)
+        # run only half an epoch by stopping after checkpoint step 2: emulate by
+        # training 1 epoch then restoring step-2 checkpoint
+        train(cfg)
+        from vaegan_tpu.checkpoint import CheckpointManager
+        mgr = CheckpointManager(str(tmp_path / "ck2"))
+        assert 2 in (mgr.all_steps if False else mgr._mgr.all_steps())
+        # restore step 2 explicitly, then resume to finish the epoch
+        template = create_train_state(cfg, jax.random.key(0))
+        state2 = mgr.restore(template, step=2)
+        mgr.close()
+        logger = None
+        from vaegan_tpu.train.loop import train as train_fn
+        # place restored checkpoint as the only resume point
+        import shutil
+        shutil.rmtree(tmp_path / "ck2")
+        mgr2 = CheckpointManager(str(tmp_path / "ck2"))
+        mgr2.save(state2, force=True)
+        mgr2.wait()
+        mgr2.close()
+        state3, logger = train_fn(cfg, resume=True)
+        assert int(jax.device_get(state3.step)) == 4
+        steps_run = sum(1 for m in logger.history if "_wall_s" not in m)
+        assert steps_run == 2

@@ -181,5 +181,5 @@ class TestTrainDataParallel:
         from vaegan_tpu.parallel.train import train_data_parallel
         cfg = tiny_cfg()
         cfg = cfg.replace(data=cfg.data.replace(batch_size=15, synthetic=True))
-        with pytest.raises(ValueError, match="divide"):
+        with pytest.raises(ValueError, match="divisible"):
             train_data_parallel(cfg)

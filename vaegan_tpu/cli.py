@@ -70,7 +70,8 @@ def cmd_train(args):
     logger = MetricsLogger(sinks=sinks, flush_every=cfg.train.log_every)
     if getattr(args, "dp", False):
         from vaegan_tpu.parallel.train import train_data_parallel
-        state, logger = train_data_parallel(cfg, logger=logger)
+        state, logger = train_data_parallel(cfg, logger=logger,
+                                            resume=getattr(args, "resume", False))
     else:
         state, logger = train(cfg, logger=logger, resume=getattr(args, "resume", False))
     logger.close()

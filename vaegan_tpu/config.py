@@ -195,12 +195,15 @@ class Config(_Replaceable):
 
     @classmethod
     def from_dict(cls, d: dict) -> "Config":
-        kw: dict[str, Any] = {}
-        for f_ in dataclasses.fields(cls):
-            sub = d.get(f_.name, {})
-            sub_cls = f_.default_factory  # type: ignore[union-attr]
-            kw[f_.name] = sub_cls() if not sub else sub_cls(**sub)
-        return cls(**kw)
+        return Config(
+            generator=GeneratorConfig(**d.get("generator", {})),
+            discriminator=DiscriminatorConfig(**d.get("discriminator", {})),
+            loss=LossConfig(**d.get("loss", {})),
+            optim=OptimConfig(**d.get("optim", {})),
+            data=DataConfig(**d.get("data", {})),
+            parallel=ParallelConfig(**d.get("parallel", {})),
+            train=TrainConfig(**d.get("train", {})),
+        )
 
     @classmethod
     def from_json(cls, path: str) -> "Config":
@@ -280,19 +283,3 @@ def preset(name: str) -> Config:
             train=base.train.replace(dtype="bfloat16"),
         )
     raise ValueError(f"unknown preset {name!r}")
-
-
-# patch from_dict to build nested dataclasses properly
-def _config_from_dict(d: dict) -> Config:
-    return Config(
-        generator=GeneratorConfig(**d.get("generator", {})),
-        discriminator=DiscriminatorConfig(**d.get("discriminator", {})),
-        loss=LossConfig(**d.get("loss", {})),
-        optim=OptimConfig(**d.get("optim", {})),
-        data=DataConfig(**d.get("data", {})),
-        parallel=ParallelConfig(**d.get("parallel", {})),
-        train=TrainConfig(**d.get("train", {})),
-    )
-
-
-Config.from_dict = classmethod(lambda cls, d: _config_from_dict(d))  # type: ignore[assignment]

@@ -37,10 +37,9 @@ class NiftiDataset:
         self.root_dir = Path(root_dir)
         self.image_size = image_size
         self.normalize = normalize
-        exts = (".nii", ".nii.gz", ".gz")
         self.filenames = sorted(
             f for f in os.listdir(self.root_dir)
-            if str(f).endswith(exts))
+            if str(f).endswith((".nii", ".nii.gz")))
         if not self.filenames:
             raise FileNotFoundError(f"no NIfTI files under {self.root_dir}")
 
@@ -119,11 +118,22 @@ class DataLoader:
         return idx
 
     def __iter__(self) -> Iterator[np.ndarray]:
+        return self.iter_batches(0)
+
+    def skip_epoch(self) -> None:
+        """Advance the shuffle RNG one epoch without decoding anything (resume
+        fast-forward: replaying a completed epoch's permutation keeps later
+        epochs' data order identical to an uninterrupted run)."""
+        self._epoch_indices()
+
+    def iter_batches(self, start: int = 0) -> Iterator[np.ndarray]:
+        """Iterate this epoch's batches starting at batch index ``start`` —
+        earlier batches are skipped WITHOUT decoding (resume support)."""
         idx = self._epoch_indices()
         n = len(idx)
         stops = range(0, n - self.batch_size + 1, self.batch_size) if self.drop_last \
             else range(0, n, self.batch_size)
-        slices = [idx[s: s + self.batch_size] for s in stops]
+        slices = [idx[s: s + self.batch_size] for s in stops][start:]
         if self.prefetch_batches <= 0:
             for sl in slices:
                 yield self.dataset.load_batch(sl)

@@ -13,7 +13,7 @@ Reference semantics (README.md:717-831):
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Any, Callable, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -74,11 +74,11 @@ def feature_matching_loss(real_features: jax.Array, fake_features: jax.Array) ->
 
 
 def gradient_penalty(
-    critic: Callable[[jax.Array], jax.Array],
+    critic: Callable[[jax.Array], Any],
     real: jax.Array,
     fake: jax.Array,
     key: jax.Array,
-) -> jax.Array:
+) -> Tuple[jax.Array, Any]:
     """WGAN-GP (reference README.md:717-739).
 
     ``critic`` must map images -> per-sample logits (any trailing shape); it is

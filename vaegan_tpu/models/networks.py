@@ -133,7 +133,11 @@ class SpatialVAECodeProcessor(nn.Module):
 
                 seed = jax.random.randint(self.make_rng("noise"), (), 0,
                                           jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
-                z, _ = reparam_kl(mu, log_var, seed)  # in-kernel eps + fused KL
+                # in-kernel eps generation is the win here; the fused KL sum
+                # rides along for free (the loss recomputes KL with the
+                # configured reduction from mu/log_var, so the extra output's
+                # cotangent is zero — a no-op in the backward kernel)
+                z, _ = reparam_kl(mu, log_var, seed)
             else:
                 if eps is None:
                     eps = jax.random.normal(self.make_rng("noise"), mu.shape, mu.dtype)

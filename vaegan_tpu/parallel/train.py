@@ -38,6 +38,7 @@ def train_data_parallel(
     loader=None,
     logger: Optional[MetricsLogger] = None,
     mesh=None,
+    resume: bool = False,
 ) -> Tuple[TrainState, MetricsLogger]:
     p = cfg.parallel
     if mesh is None:
@@ -46,16 +47,21 @@ def train_data_parallel(
     n_data = mesh.shape[p.data_axis]
     if cfg.data.batch_size % n_data != 0:
         raise ValueError(
-            f"global batch {cfg.data.batch_size} must divide the data axis ({n_data})")
+            f"global batch {cfg.data.batch_size} must be divisible by the data-axis "
+            f"size ({n_data})")
 
     state = create_train_state(cfg, jax.random.key(cfg.train.seed))
     spec = state_shardings(state, mesh, model_axis=p.model_axis)
     state = jax.device_put(state, spec)
     step_g = make_parallel_train_step(cfg, mesh, do_g_update=True, state_spec=spec)
-    step_d = make_parallel_train_step(cfg, mesh, do_g_update=False, state_spec=spec)
+    if cfg.optim.scheme == "three":
+        step_d = step_g  # the paper step has no critic-only variant; don't compile twice
+    else:
+        step_d = make_parallel_train_step(cfg, mesh, do_g_update=False, state_spec=spec)
 
     return train(
         cfg, loader=loader, state=state, logger=logger,
         sharding=batch_sharding(mesh, p.data_axis),
         step_fns=(step_g, step_d),
+        resume=resume,
     )

@@ -105,9 +105,26 @@ def train(
     global_step = 0
     t0 = time.time()
     for epoch in range(tcfg.n_epochs):
-        it = device_prefetch(iter(loader), sharding, depth=cfg.data.prefetch)
-        for i, batch in enumerate(it):
-            if global_step < start_step:  # resume fast-forward
+        # resume fast-forward without decoding: skip whole completed epochs by
+        # replaying only the shuffle RNG, and open partial epochs at the right
+        # batch offset (loaders without these hooks fall back to decode-and-skip)
+        skip_in_epoch = 0
+        if global_step < start_step and n_batches > 0:
+            if global_step + n_batches <= start_step and hasattr(loader, "skip_epoch"):
+                loader.skip_epoch()
+                global_step += n_batches
+                continue
+            skip_in_epoch = start_step - global_step
+        batch_offset = 0
+        if skip_in_epoch and hasattr(loader, "iter_batches"):
+            source = loader.iter_batches(skip_in_epoch)
+            global_step += skip_in_epoch
+            batch_offset = skip_in_epoch
+        else:
+            source = iter(loader)
+        it = device_prefetch(source, sharding, depth=cfg.data.prefetch)
+        for i, batch in enumerate(it, start=batch_offset):
+            if global_step < start_step:  # fallback decode-and-skip
                 global_step += 1
                 continue
             step_key = jax.random.fold_in(key, global_step)

@@ -163,10 +163,14 @@ def make_train_step(cfg: Config, do_g_update: bool, axis_name=None) -> Callable:
                     else:
                         adv = losses.wgan_generator_loss(logits)
                 if want_feats:
-                    (_, real_feats), _ = disc.apply(
+                    (_, real_feats), mut_r = disc.apply(
                         {"params": new_d_params, **d_mut2}, batch, train=True,
                         rngs={"dropout": k_dreal}, mutable=["batch_stats", "spectral"],
                         return_features=True)
+                    # thread this train-mode forward's BN/spectral updates like
+                    # every other critic forward in the step
+                    d_mut2 = {"batch_stats": mut_r["batch_stats"],
+                              "spectral": mut_r["spectral"]}
                     recon = losses.feature_matching_loss(
                         jax.lax.stop_gradient(real_feats), feats)
                 elif _pallas_losses:
@@ -266,10 +270,10 @@ def make_paper_train_step(cfg: Config, axis_name=None) -> Callable:
 
             l_prior = losses.kl_divergence(mu, lv, lcfg.kl_reduction)
             l_llike = losses.feature_matching_loss(fr_, ft_)
-            l_gan = (losses.bce_with_logits(lr_, 1.0)
-                     + losses.bce_with_logits(lt_, 0.0)
-                     + losses.bce_with_logits(lp_, 0.0))
-            aux = (g_mut["batch_stats"], st, l_prior, l_llike, l_gan)
+            bce_real = losses.bce_with_logits(lr_, 1.0)
+            bce_fake = losses.bce_with_logits(lt_, 0.0) + losses.bce_with_logits(lp_, 0.0)
+            l_gan = bce_real + bce_fake
+            aux = (g_mut["batch_stats"], st, l_prior, l_llike, l_gan, bce_real, bce_fake)
             return l_prior, l_llike, l_gan, aux
 
         # One combined scalar realizing all three per-group losses via stop-gradient
@@ -295,7 +299,7 @@ def make_paper_train_step(cfg: Config, axis_name=None) -> Callable:
         if axis_name is not None:
             enc_g, dec_g, dis_g = jax.lax.pmean((enc_g, dec_g, dis_g), axis_name)
 
-        new_g_stats, d_st, l_prior, l_llike, l_gan = aux
+        new_g_stats, d_st, l_prior, l_llike, l_gan, bce_real, bce_fake = aux
         enc_up, opt_enc = tx.update(enc_g, state.opt_g["enc"], enc0)
         dec_up, opt_dec = tx.update(dec_g, state.opt_g["dec"], dec0)
         dis_up, opt_d = tx.update(dis_g, state.opt_d, state.d_params)
@@ -307,7 +311,7 @@ def make_paper_train_step(cfg: Config, axis_name=None) -> Callable:
 
         g_metrics = {"g_loss": enc_l + dec_l, "adv_loss": l_gan,
                      "recon_loss": l_llike, "kl": l_prior}
-        metrics = {"d_loss": dis_l, "d_real_loss": l_gan, "d_fake_loss": l_gan,
+        metrics = {"d_loss": dis_l, "d_real_loss": bce_real, "d_fake_loss": bce_fake,
                    "gp": jnp.zeros((), jnp.float32), **g_metrics}
         new_state = state.replace(
             step=state.step + 1,
