@@ -152,3 +152,19 @@ class TestCriticBatching:
         state, m = step(state, batch_of(cfg, jax.random.key(1)), jax.random.key(2))
         for k, v in m.items():
             assert np.isfinite(float(v)), k
+
+
+class TestPlainAutoencoderMode:
+    def test_is_vae_false_trains(self):
+        """is_vae=False (reference README.md:643-653): plain AE + GAN; KL term
+        is identically zero and the step still trains both nets."""
+        cfg = tiny_config()
+        cfg = cfg.replace(generator=cfg.generator.replace(is_vae=False))
+        state = create_train_state(cfg, jax.random.key(0))
+        step = jax.jit(make_train_step(cfg, do_g_update=True))
+        new_state, m = step(state, batch_of(cfg, jax.random.key(1)), jax.random.key(2))
+        assert float(m["kl"]) == 0.0
+        for k, v in m.items():
+            assert np.isfinite(float(v)), k
+        assert not jnp.allclose(jax.tree.leaves(new_state.g_params)[0],
+                                jax.tree.leaves(state.g_params)[0])

@@ -76,9 +76,16 @@ def make_train_step(cfg: Config, do_g_update: bool, axis_name=None) -> Callable:
         # this same forward without recomputing it (the reference reuses the same
         # tensor with its autograd graph intact; this is the JAX equivalent).
         def gen_forward(g_params):
-            (r, m, lv), mut = gen.apply(
+            out, mut = gen.apply(
                 {"params": g_params, "batch_stats": state.g_stats},
                 batch, train=True, rngs=g_rngs, mutable=["batch_stats"])
+            if cfg.generator.is_vae:
+                r, m, lv = out
+            else:
+                # plain autoencoder (reference is_vae=False, README.md:643-653):
+                # no code distribution — zero mu/log_var make the KL identically 0
+                r = out
+                m = lv = jnp.zeros((r.shape[0], 1), r.dtype)
             return (r, m, lv), mut["batch_stats"]
 
         if do_g_update:
