@@ -15,6 +15,7 @@
 
 #include <atomic>
 #include <cmath>
+#include <mutex>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -134,11 +135,13 @@ bool decode(const char* path, std::vector<float>* img, int64_t* h, int64_t* w) {
   if (!parse_header(raw, &hd)) return false;
   int64_t n = 1;
   for (int i = 0; i < 7; ++i) n *= hd.shape[i];
-  int64_t dim0 = hd.shape[0], dim1 = hd.shape[1];
-  if (n != dim0 * dim1) {
-    // collapse trailing singleton dims; reject true volumes for the 2-D pipeline
-    if (n == dim0 * dim1 * 1) { /* ok */ } else { g_error = "not a 2-D image"; return false; }
-  }
+  // squeeze singleton dims (np.squeeze parity: removing size-1 dims preserves the
+  // Fortran layout of the remaining dims); exactly two must remain
+  std::vector<int64_t> dims;
+  for (int i = 0; i < 7; ++i)
+    if (hd.shape[i] > 1) dims.push_back(hd.shape[i]);
+  if (dims.size() != 2) { g_error = "not a 2-D image after squeezing"; return false; }
+  int64_t dim0 = dims[0], dim1 = dims[1];
   size_t esize;
   switch (hd.datatype) {
     case 2: esize = 1; break;   case 4: esize = 2; break;
@@ -162,9 +165,10 @@ bool decode(const char* path, std::vector<float>* img, int64_t* h, int64_t* w) {
     case 512: convert<uint16_t>(src, flat.data(), n, hd.big_endian); break;
     case 768: convert<uint32_t>(src, flat.data(), n, hd.big_endian); break;
   }
-  if (hd.scl_slope != 0.f && hd.scl_slope != 1.f) {
-    for (auto& v : flat) v = v * hd.scl_slope + hd.scl_inter;
-  } else if (hd.scl_slope == 1.f && hd.scl_inter != 0.f) {
+  if (std::isfinite(hd.scl_slope) && hd.scl_slope != 0.f && hd.scl_slope != 1.f) {
+    float inter = std::isfinite(hd.scl_inter) ? hd.scl_inter : 0.f;
+    for (auto& v : flat) v = v * hd.scl_slope + inter;
+  } else if (hd.scl_slope == 1.f && std::isfinite(hd.scl_inter) && hd.scl_inter != 0.f) {
     for (auto& v : flat) v += hd.scl_inter;
   }
   // Fortran (x fastest) -> row-major (rows = x): transpose
@@ -231,19 +235,29 @@ int nifti_decode_batch(const char** paths, int count, float* out, int out_h,
   if (threads <= 0) threads = static_cast<int>(std::thread::hardware_concurrency());
   threads = std::max(1, std::min(threads, count));
   std::atomic<int> next(0), failures(0);
+  std::mutex err_mu;
+  std::string batch_error;  // g_error is thread_local: surface workers' messages
   auto worker = [&] {
     for (;;) {
       int i = next.fetch_add(1);
       if (i >= count) return;
       if (nifti_decode_resize(paths[i], out + static_cast<int64_t>(i) * out_h * out_w,
-                              out_h, out_w, normalize) != 0)
+                              out_h, out_w, normalize) != 0) {
         failures.fetch_add(1);
+        std::lock_guard<std::mutex> lk(err_mu);
+        if (!batch_error.empty()) batch_error += "; ";
+        batch_error += std::string(paths[i]) + ": " + g_error;
+      }
     }
   };
   std::vector<std::thread> pool;
   for (int t = 0; t < threads; ++t) pool.emplace_back(worker);
   for (auto& t : pool) t.join();
-  return failures.load() == 0 ? 0 : 1;
+  if (failures.load() != 0) {
+    g_error = batch_error;  // propagate to the caller's thread-local
+    return 1;
+  }
+  return 0;
 }
 
 }  // extern "C"

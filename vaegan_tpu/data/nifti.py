@@ -76,7 +76,7 @@ def read_nifti(path: Union[str, Path]) -> np.ndarray:
     data = np.frombuffer(raw, dtype=np_dtype, count=count, offset=offset)
     img = data.reshape(shape, order="F").astype(np.float32)
     if scl_slope not in (0.0, 1.0) and np.isfinite(scl_slope):
-        img = img * scl_slope + scl_inter
+        img = img * scl_slope + (scl_inter if np.isfinite(scl_inter) else 0.0)
     elif scl_inter not in (0.0,) and scl_slope == 1.0 and np.isfinite(scl_inter):
         img = img + scl_inter
     return img

@@ -142,24 +142,45 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
         sentinel = object()
         err: List[BaseException] = []
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for sl in slices:
-                    q.put(self.dataset.load_batch(sl))
+                    if stop.is_set() or not _put(self.dataset.load_batch(sl)):
+                        return
             except BaseException as e:  # surfaced on the consumer side
                 err.append(e)
             finally:
-                q.put(sentinel)
+                _put(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+        finally:
+            # consumer stopped early (e.g. evaluate_mse takes one batch):
+            # cancel the producer instead of leaving it blocked on q.put
+            stop.set()
+            while not q.empty():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            t.join(timeout=5.0)
         if err:
             raise err[0]
 

@@ -145,7 +145,7 @@ class BatchNorm(nn.Module):
             else:
                 seed = jnp.zeros((), jnp.int32)
             y = bn_act_dropout(x.astype(self.dtype), m, v, scale, bias, seed,
-                               float(slope), p_eff)
+                               float(slope), p_eff, float(self.eps))
         if train and not self.is_initializing():
             mean.value = new_mean
             var.value = new_var

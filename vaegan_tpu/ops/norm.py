@@ -71,28 +71,11 @@ def batch_norm(
     Returns ``(y, new_running_mean, new_running_var)``; the running stats are passed
     through unchanged when ``use_running_average`` is True (eval mode).
     """
-    c = x.shape[-1]
-    red = tuple(range(x.ndim - 1))
-    if use_running_average:
-        mean = running_mean
-        var = running_var
-        new_mean, new_var = running_mean, running_var
-    else:
-        xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=red)
-        mean_sq = jnp.mean(jnp.square(xf), axis=red)
-        if axis_name is not None:
-            mean = lax.pmean(mean, axis_name)
-            mean_sq = lax.pmean(mean_sq, axis_name)
-        var = mean_sq - jnp.square(mean)  # biased; used for normalization (torch)
-        n = jnp.asarray(x.size // c, jnp.float32)
-        if axis_name is not None:
-            n = n * lax.psum(1, axis_name)
-        bessel = n / jnp.maximum(n - 1.0, 1.0)
-        new_mean = (1.0 - momentum) * running_mean + momentum * mean
-        new_var = (1.0 - momentum) * running_var + momentum * (var * bessel)
+    mean, var, new_mean, new_var = batch_stats(
+        x, running_mean, running_var, use_running_average=use_running_average,
+        momentum=momentum, axis_name=axis_name)
     inv = lax.rsqrt(var.astype(jnp.float32) + eps)
     scale_eff = (scale.astype(jnp.float32) * inv).astype(x.dtype)
     bias_eff = (bias.astype(jnp.float32) - mean.astype(jnp.float32) * scale.astype(jnp.float32) * inv).astype(x.dtype)
     y = x * scale_eff + bias_eff
-    return y, new_mean.astype(running_mean.dtype), new_var.astype(running_var.dtype)
+    return y, new_mean, new_var

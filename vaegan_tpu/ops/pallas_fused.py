@@ -64,12 +64,12 @@ def _pad_m(x2, block):
 # fused BatchNorm-normalize + LeakyReLU + dropout
 # ===========================================================================
 
-def _bn_fwd_kernel(seed_ref, x_ref, mv_ref, sb_ref, y_ref, *, slope, p, block_m):
+def _bn_fwd_kernel(seed_ref, x_ref, mv_ref, sb_ref, y_ref, *, slope, p, eps, block_m):
     i = pl.program_id(0)
     pltpu.prng_seed(seed_ref[0] + i)
     x = x_ref[:].astype(jnp.float32)
     mean = mv_ref[0, :]
-    inv = jax.lax.rsqrt(mv_ref[1, :] + 1e-5)
+    inv = jax.lax.rsqrt(mv_ref[1, :] + eps)
     a = (x - mean) * (inv * sb_ref[0, :]) + sb_ref[1, :]
     l = jnp.where(a >= 0, a, a * slope)
     if p > 0.0:
@@ -80,14 +80,14 @@ def _bn_fwd_kernel(seed_ref, x_ref, mv_ref, sb_ref, y_ref, *, slope, p, block_m)
 
 
 def _bn_bwd_kernel(seed_ref, x_ref, mv_ref, sb_ref, g_ref,
-                   dx_ref, red_ref, *, slope, p, block_m):
+                   dx_ref, red_ref, *, slope, p, eps, block_m):
     i = pl.program_id(0)
     pltpu.prng_seed(seed_ref[0] + i)
     x = x_ref[:].astype(jnp.float32)
     g = g_ref[:].astype(jnp.float32)
     mean = mv_ref[0, :]
     var = mv_ref[1, :]
-    inv = jax.lax.rsqrt(var + 1e-5)
+    inv = jax.lax.rsqrt(var + eps)
     scale = sb_ref[0, :]
     xhat = (x - mean) * inv
     a = xhat * scale + sb_ref[1, :]
@@ -104,7 +104,7 @@ def _bn_bwd_kernel(seed_ref, x_ref, mv_ref, sb_ref, g_ref,
     dscale = jnp.sum(ga * xhat, axis=0)
     dbias = jnp.sum(ga, axis=0)
     dmean = jnp.sum(dxhat, axis=0) * (-inv)
-    dvar = jnp.sum(dxhat * xhat, axis=0) * (-0.5) / (var + 1e-5)
+    dvar = jnp.sum(dxhat * xhat, axis=0) * (-0.5) / (var + eps)
     part = jnp.stack([dscale, dbias, dmean, dvar])
 
     @pl.when(i == 0)
@@ -116,8 +116,8 @@ def _bn_bwd_kernel(seed_ref, x_ref, mv_ref, sb_ref, g_ref,
         red_ref[:] = red_ref[:] + part
 
 
-def _bn_fallback(x, mean, var, scale, bias, seed, slope, p):
-    inv = jax.lax.rsqrt(var.astype(jnp.float32) + 1e-5)
+def _bn_fallback(x, mean, var, scale, bias, seed, slope, p, eps):
+    inv = jax.lax.rsqrt(var.astype(jnp.float32) + eps)
     a = (x.astype(jnp.float32) - mean) * (inv * scale) + bias
     l = jnp.where(a >= 0, a, a * slope)
     if p > 0.0:
@@ -127,21 +127,22 @@ def _bn_fallback(x, mean, var, scale, bias, seed, slope, p):
     return l.astype(x.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def bn_act_dropout(x, mean, var, scale, bias, seed, slope: float, p: float):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def bn_act_dropout(x, mean, var, scale, bias, seed, slope: float, p: float,
+                   eps: float = 1e-5):
     """y = dropout(leaky_relu(scale*(x-mean)*rsqrt(var+eps)+bias, slope), p).
 
     ``seed``: int32 scalar; the dropout stream is a pure function of (seed, grid
     position), replayed identically in the backward kernel.
     """
-    y, _ = _bn_fwd(x, mean, var, scale, bias, seed, slope, p)
+    y, _ = _bn_fwd(x, mean, var, scale, bias, seed, slope, p, eps)
     return y
 
 
-def _bn_fwd(x, mean, var, scale, bias, seed, slope, p):
+def _bn_fwd(x, mean, var, scale, bias, seed, slope, p, eps):
     c = x.shape[-1]
     if not _use_pallas(c):
-        return _bn_fallback(x, mean, var, scale, bias, seed, slope, p), (
+        return _bn_fallback(x, mean, var, scale, bias, seed, slope, p, eps), (
             x, mean, var, scale, bias, seed)
     x2, orig_shape = _flatten2d(x)
     x2, m = _pad_m(x2, _BLOCK_M)
@@ -149,7 +150,7 @@ def _bn_fwd(x, mean, var, scale, bias, seed, slope, p):
     mv = jnp.stack([mean.astype(jnp.float32), var.astype(jnp.float32)])
     sb = jnp.stack([scale.astype(jnp.float32), bias.astype(jnp.float32)])
     y = pl.pallas_call(
-        functools.partial(_bn_fwd_kernel, slope=slope, p=p, block_m=_BLOCK_M),
+        functools.partial(_bn_fwd_kernel, slope=slope, p=p, eps=eps, block_m=_BLOCK_M),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -164,17 +165,17 @@ def _bn_fwd(x, mean, var, scale, bias, seed, slope, p):
     return y, (x, mean, var, scale, bias, seed)
 
 
-def _bn_fwd_rule(x, mean, var, scale, bias, seed, slope, p):
-    return _bn_fwd(x, mean, var, scale, bias, seed, slope, p)
+def _bn_fwd_rule(x, mean, var, scale, bias, seed, slope, p, eps):
+    return _bn_fwd(x, mean, var, scale, bias, seed, slope, p, eps)
 
 
-def _bn_bwd_rule(slope, p, res, g):
+def _bn_bwd_rule(slope, p, eps, res, g):
     x, mean, var, scale, bias, seed = res
     c = x.shape[-1]
     if not _use_pallas(c):
         # differentiate the fallback directly
         def f(x, mean, var, scale, bias):
-            return _bn_fallback(x, mean, var, scale, bias, seed, slope, p)
+            return _bn_fallback(x, mean, var, scale, bias, seed, slope, p, eps)
         _, vjp = jax.vjp(f, x, mean, var, scale, bias)
         dx, dmean, dvar, dscale, dbias = vjp(g)
         return dx, dmean, dvar, dscale, dbias, None
@@ -186,7 +187,7 @@ def _bn_bwd_rule(slope, p, res, g):
     mv = jnp.stack([mean.astype(jnp.float32), var.astype(jnp.float32)])
     sb = jnp.stack([scale.astype(jnp.float32), bias.astype(jnp.float32)])
     dx, red = pl.pallas_call(
-        functools.partial(_bn_bwd_kernel, slope=slope, p=p, block_m=_BLOCK_M),
+        functools.partial(_bn_bwd_kernel, slope=slope, p=p, eps=eps, block_m=_BLOCK_M),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -382,12 +383,20 @@ def recon_loss_sums(recon, target):
 
 
 def _recon_fwd(recon, target):
-    c = recon.shape[-1]
-    if not _use_pallas(c):
+    # elementwise reduction: layout is free, so flatten fully and retile to the
+    # 128-lane shape (1-channel images — every notebook config — still fuse)
+    if not _use_pallas(_LANE):
         d = recon.astype(jnp.float32) - target.astype(jnp.float32)
         return (jnp.stack([jnp.sum(jnp.abs(d)), jnp.sum(d * d)]), (recon, target))
-    r2, shape = _flatten2d(recon)
-    t2, _ = _flatten2d(target)
+    def to_lanes(a):
+        flat = a.reshape(-1)
+        pad = (-flat.size) % _LANE
+        if pad:
+            flat = jnp.pad(flat, (0, pad))  # zero pad: |0| and 0^2 add nothing
+        return flat.reshape(-1, _LANE)
+    c = _LANE
+    r2 = to_lanes(recon)
+    t2 = to_lanes(target)
     r2, m = _pad_m(r2, _BLOCK_M)
     t2, _ = _pad_m(t2, _BLOCK_M)
     grid = r2.shape[0] // _BLOCK_M

@@ -129,7 +129,7 @@ def train(
                 continue
             step_key = jax.random.fold_in(key, global_step)
             do_g = (i % tcfg.n_critics) == 0  # README.md:812
-            batches_done = epoch * max(n_batches, 1) + i
+            batches_done = epoch * n_batches + i if n_batches > 0 else global_step
             # regenerate this step's gen_imgs BEFORE the step (the step donates
             # its input state buffers)
             sample_imgs = (sampler(state, batch, step_key)

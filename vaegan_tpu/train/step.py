@@ -232,6 +232,10 @@ def make_paper_train_step(cfg: Config, axis_name=None) -> Callable:
     other groups through stop_gradient — primal-identical forwards CSE to a single
     forward, and each group receives exactly its own loss's gradient.
     """
+    if not cfg.generator.is_vae:
+        raise ValueError("the Larsen Algorithm-1 step requires a VAE code "
+                         "distribution (generator.is_vae=True); use "
+                         "make_train_step for plain-AE configurations")
     gen, disc = build_models(cfg, axis_name)
     tx = build_optimizer(cfg.optim)
     lcfg, gamma = cfg.loss, cfg.optim.gamma
@@ -257,10 +261,13 @@ def make_paper_train_step(cfg: Config, axis_name=None) -> Callable:
                 {"params": g_params, "batch_stats": state.g_stats},
                 batch, train=True, rngs=g_rngs, mutable=["batch_stats"])
             z_p = jax.random.normal(k_prior, mu.shape, mu.dtype)
-            x_p = gen.apply(
-                {"params": g_params, "batch_stats": state.g_stats},
+            # the prior-sample decode is a train-mode forward: thread its BN
+            # stat updates after the x_tilde forward's (torch-parity cadence)
+            x_p, p_mut = gen.apply(
+                {"params": g_params, "batch_stats": g_mut["batch_stats"]},
                 z_p, train=True, rngs=g_rngs, mutable=["batch_stats"],
-                method=gen.decode)[0]
+                method=gen.decode)
+            g_stats_out = p_mut["batch_stats"]
 
             dstate = {"batch_stats": state.d_stats, "spectral": state.d_spectral}
 
@@ -280,7 +287,7 @@ def make_paper_train_step(cfg: Config, axis_name=None) -> Callable:
             bce_real = losses.bce_with_logits(lr_, 1.0)
             bce_fake = losses.bce_with_logits(lt_, 0.0) + losses.bce_with_logits(lp_, 0.0)
             l_gan = bce_real + bce_fake
-            aux = (g_mut["batch_stats"], st, l_prior, l_llike, l_gan, bce_real, bce_fake)
+            aux = (g_stats_out, st, l_prior, l_llike, l_gan, bce_real, bce_fake)
             return l_prior, l_llike, l_gan, aux
 
         # One combined scalar realizing all three per-group losses via stop-gradient
