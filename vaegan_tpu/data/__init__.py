@@ -1,5 +1,6 @@
 from vaegan_tpu.data import nifti
 from vaegan_tpu.data.pipeline import (
+    CachedDataset,
     DataLoader,
     NiftiDataset,
     SyntheticDataset,
@@ -9,6 +10,6 @@ from vaegan_tpu.data.pipeline import (
 )
 
 __all__ = [
-    "nifti", "NiftiDataset", "SyntheticDataset", "DataLoader",
+    "nifti", "NiftiDataset", "SyntheticDataset", "CachedDataset", "DataLoader",
     "device_prefetch", "make_dataset", "make_loader",
 ]

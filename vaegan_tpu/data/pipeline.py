@@ -91,6 +91,53 @@ class SyntheticDataset:
         return np.stack([self[i] for i in indices])
 
 
+class CachedDataset:
+    """Decode-once, memory-mapped dataset cache (FFCV-style; see PAPERS.md).
+
+    The reference re-decodes every NIfTI file every epoch. This wrapper decodes the
+    whole dataset once into a float32 memmap sized (N, image_size, image_size, 1)
+    and serves subsequent epochs straight from page cache — after epoch 0 the host
+    cost of a batch is a memcpy. The cache file is keyed by (dataset length,
+    image_size) and reused across runs when ``cache_path`` is given.
+    """
+
+    def __init__(self, dataset, cache_path=None):
+        self.dataset = dataset
+        self.image_size = dataset.image_size
+        n = len(dataset)
+        shape = (n, dataset.image_size, dataset.image_size, 1)
+        if cache_path is None:
+            self._mm = np.zeros(shape, np.float32)
+            fresh = True
+        else:
+            cache_path = Path(cache_path)
+            cache_path.parent.mkdir(parents=True, exist_ok=True)
+            fresh = not cache_path.exists()
+            self._mm = np.lib.format.open_memmap(
+                str(cache_path), mode="w+" if fresh else "r", dtype=np.float32,
+                shape=shape) if fresh else np.load(str(cache_path), mmap_mode="r")
+            if not fresh and self._mm.shape != shape:
+                raise ValueError(
+                    f"cache {cache_path} has shape {self._mm.shape}, expected {shape} "
+                    "— delete it or point cache_path elsewhere")
+        if fresh:
+            bs = 64
+            for s in range(0, n, bs):
+                idx = range(s, min(s + bs, n))
+                self._mm[s: s + len(idx)] = dataset.load_batch(idx)
+            if hasattr(self._mm, "flush"):
+                self._mm.flush()
+
+    def __len__(self) -> int:
+        return len(self.dataset)
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        return np.asarray(self._mm[idx])
+
+    def load_batch(self, indices: Sequence[int]) -> np.ndarray:
+        return np.asarray(self._mm[np.asarray(indices)])
+
+
 class DataLoader:
     """Shuffled, batched, background-prefetched host iterator.
 
@@ -205,8 +252,14 @@ def device_prefetch(iterator: Iterator[np.ndarray], sharding=None,
 
 def make_dataset(cfg: DataConfig):
     if cfg.synthetic:
-        return SyntheticDataset(cfg.synthetic_size, cfg.image_size)
-    return NiftiDataset(cfg.root_dir, cfg.image_size)
+        ds = SyntheticDataset(cfg.synthetic_size, cfg.image_size)
+    else:
+        ds = NiftiDataset(cfg.root_dir, cfg.image_size)
+    if cfg.cache:
+        path = cfg.cache_path or (None if cfg.synthetic else
+                                  str(Path(cfg.root_dir) / f".cache_{cfg.image_size}.npy"))
+        ds = CachedDataset(ds, cache_path=path)
+    return ds
 
 
 def make_loader(cfg: DataConfig, seed: int = 0) -> DataLoader:
