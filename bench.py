@@ -8,8 +8,9 @@ weight clamp — on synthetic on-device data, steady-state.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with
 vs_baseline = value / 5000 (the BASELINE.json target of >=5k imgs/s/chip).
 
-Env knobs: BENCH_BATCH (default 256), BENCH_DTYPE (bfloat16|float32, default
-bfloat16), BENCH_STEPS (default 20), BENCH_IMAGE (default 96).
+Env knobs: BENCH_BATCH (default 128 — the measured optimum), BENCH_DTYPE
+(bfloat16|float32, default bfloat16), BENCH_STEPS (default 20),
+BENCH_IMAGE (default 96).
 """
 
 from __future__ import annotations

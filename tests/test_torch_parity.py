@@ -429,3 +429,25 @@ class TestInteropReferenceNaming:
                                  interop.torch_state_dict_to_variables(m.state_dict()))
         out = blk.apply(variables, t2j_nhwc(x), train=False)
         assert_close(out, ref, rtol=1e-4, atol=1e-4)
+
+
+class TestInteropUpsampleConv2:
+    def test_plain_conv2_inside_upsample_block_not_transposed(self):
+        """conv2 inside an upsample-named block is a PLAIN conv (README.md:170);
+        interop must not channel-transpose its square kernel (silent corruption)."""
+        import torch.nn as tnn
+        conv2 = tnn.Conv2d(6, 6, 3, 1, 1, bias=False)          # square: shape-ambiguous
+        convt = tnn.ConvTranspose2d(8, 6, 4, 2, 1, bias=False)  # the actual convT
+        sd = {
+            "decoder-depth_1-upsample.conv1.weight": convt.weight,
+            "decoder-depth_1-upsample.conv2.weight": conv2.weight,
+        }
+        var = interop.torch_state_dict_to_variables(sd)
+        blk = var["params"]["decoder-depth_1-upsample"]
+        # conv1: IOHW (8,6,4,4) -> HWIO (4,4,8,6)
+        assert blk["conv1"]["kernel"].shape == (4, 4, 8, 6)
+        # conv2: OIHW (6,6,3,3) -> HWIO with the ORIGINAL in/out order
+        x = torch.randn(1, 6, 5, 5)
+        ref = TF.conv2d(x, conv2.weight, padding=1)
+        out = conv2d(t2j_nhwc(x), jnp.asarray(blk["conv2"]["kernel"]), 1, 1)
+        assert_close(out, ref)

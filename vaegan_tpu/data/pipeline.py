@@ -33,10 +33,12 @@ class NiftiDataset:
     (reference NiftyDataset, README.md:50-90, plus the documented-but-missing
     resize)."""
 
-    def __init__(self, root_dir, image_size: int = 96, normalize: bool = True):
+    def __init__(self, root_dir, image_size: int = 96, normalize: bool = True,
+                 num_workers: int = 0):
         self.root_dir = Path(root_dir)
         self.image_size = image_size
         self.normalize = normalize
+        self.num_workers = num_workers  # C++ decode threads; 0 = hw concurrency
         self.filenames = sorted(
             f for f in os.listdir(self.root_dir)
             if str(f).endswith((".nii", ".nii.gz")))
@@ -61,7 +63,8 @@ class NiftiDataset:
             arr = (ctypes.c_char_p * n)(*paths)
             rc = lib.nifti_decode_batch(
                 arr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                self.image_size, self.image_size, int(self.normalize), 0)
+                self.image_size, self.image_size, int(self.normalize),
+                int(getattr(self, "num_workers", 0)))
             if rc != 0:
                 raise ValueError(f"batch decode failed: {lib.nifti_last_error().decode()}")
             return out[..., None]
@@ -108,25 +111,32 @@ class CachedDataset:
         shape = (n, dataset.image_size, dataset.image_size, 1)
         if cache_path is None:
             self._mm = np.zeros(shape, np.float32)
-            fresh = True
+            self._populate(dataset, n)
         else:
             cache_path = Path(cache_path)
             cache_path.parent.mkdir(parents=True, exist_ok=True)
-            fresh = not cache_path.exists()
-            self._mm = np.lib.format.open_memmap(
-                str(cache_path), mode="w+" if fresh else "r", dtype=np.float32,
-                shape=shape) if fresh else np.load(str(cache_path), mmap_mode="r")
-            if not fresh and self._mm.shape != shape:
-                raise ValueError(
-                    f"cache {cache_path} has shape {self._mm.shape}, expected {shape} "
-                    "— delete it or point cache_path elsewhere")
-        if fresh:
-            bs = 64
-            for s in range(0, n, bs):
-                idx = range(s, min(s + bs, n))
-                self._mm[s: s + len(idx)] = dataset.load_batch(idx)
-            if hasattr(self._mm, "flush"):
+            if cache_path.exists():
+                self._mm = np.load(str(cache_path), mmap_mode="r")
+                if self._mm.shape != shape:
+                    raise ValueError(
+                        f"cache {cache_path} has shape {self._mm.shape}, expected "
+                        f"{shape} — delete it or point cache_path elsewhere")
+            else:
+                # populate a temp file and rename atomically: a killed run must
+                # not leave a valid-shaped zero-filled cache behind
+                tmp = cache_path.with_suffix(".tmp.npy")
+                self._mm = np.lib.format.open_memmap(
+                    str(tmp), mode="w+", dtype=np.float32, shape=shape)
+                self._populate(dataset, n)
                 self._mm.flush()
+                del self._mm
+                os.replace(tmp, cache_path)
+                self._mm = np.load(str(cache_path), mmap_mode="r")
+
+    def _populate(self, dataset, n, bs: int = 64):
+        for s in range(0, n, bs):
+            idx = range(s, min(s + bs, n))
+            self._mm[s: s + len(idx)] = dataset.load_batch(idx)
 
     def __len__(self) -> int:
         return len(self.dataset)
@@ -254,7 +264,7 @@ def make_dataset(cfg: DataConfig):
     if cfg.synthetic:
         ds = SyntheticDataset(cfg.synthetic_size, cfg.image_size)
     else:
-        ds = NiftiDataset(cfg.root_dir, cfg.image_size)
+        ds = NiftiDataset(cfg.root_dir, cfg.image_size, num_workers=cfg.num_workers)
     if cfg.cache:
         path = cfg.cache_path or (None if cfg.synthetic else
                                   str(Path(cfg.root_dir) / f".cache_{cfg.image_size}.npy"))

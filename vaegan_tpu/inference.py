@@ -81,6 +81,11 @@ def interpolate(cfg: Config, state: TrainState, x1: jax.Array, x2: jax.Array,
                 steps: int = 8) -> jax.Array:
     """Linear interpolation in latent space between encode(x1) and encode(x2);
     returns (steps, B, H, W, C) decoded images."""
+    if x1.shape[0] == 0 or x2.shape[0] == 0 or x1.shape != x2.shape:
+        raise ValueError(
+            f"interpolate needs two equal non-empty batches, got {x1.shape} and "
+            f"{x2.shape} (a batch of at least 2 images is required to take both "
+            "endpoints from one batch)")
     return _interpolate(cfg, state, (x1, x2), steps)
 
 

@@ -101,11 +101,15 @@ def torch_state_dict_to_variables(
             continue
         if leaf in ("weight", "weight_orig"):
             if val.ndim == 4:
-                # conv or conv-transpose; distinguish by a sibling marker: torch
-                # convT weights are (I, O, KH, KW). We can't see the module type,
-                # so callers tag transposed convs by name ("upsample" in the
-                # reference) — handled here for the reference naming scheme.
-                if any("upsample" in p for p in path):
+                # conv vs conv-transpose: torch convT weights are (I, O, KH, KW)
+                # but shapes alone can't distinguish square kernels, so use the
+                # reference's structure: ONLY conv1 and the shortcut conv of an
+                # upsample-mode block are ConvTranspose2d (README.md:156-160);
+                # conv2 is a plain Conv2d even inside upsample blocks.
+                in_upsample = any("upsample" in p for p in path)
+                layer = path[-2] if len(path) >= 2 else ""
+                transposed = in_upsample and layer in ("conv1", "shortcut_conv")
+                if transposed:
                     _set(params, mod + ("kernel",), conv_transpose_weight(val))
                 else:
                     _set(params, mod + ("kernel",), conv_weight(val))

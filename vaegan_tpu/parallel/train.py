@@ -50,6 +50,15 @@ def train_data_parallel(
             f"global batch {cfg.data.batch_size} must be divisible by the data-axis "
             f"size ({n_data})")
 
+    if loader is None:
+        # a trailing partial batch cannot be sharded across the data axis;
+        # drop it (pass your own loader to override)
+        from vaegan_tpu.data.pipeline import DataLoader, make_dataset
+        d = cfg.data
+        loader = DataLoader(make_dataset(d), batch_size=d.batch_size,
+                            shuffle=d.shuffle, drop_last=True,
+                            seed=cfg.train.seed, prefetch_batches=d.prefetch)
+
     state = create_train_state(cfg, jax.random.key(cfg.train.seed))
     spec = state_shardings(state, mesh, model_axis=p.model_axis)
     state = jax.device_put(state, spec)

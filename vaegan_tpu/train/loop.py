@@ -37,12 +37,17 @@ class TrainingDiverged(RuntimeError):
 
 
 def make_sampler(cfg: Config) -> Callable:
-    """jitted fn regenerating a step's gen_imgs (same rngs as the train step)."""
+    """jitted fn regenerating a step's gen_imgs (same rngs as the train step).
+
+    The split count must match the step variant exactly — threefry subkeys depend
+    on the total split width, so splitting differently would sample a DIFFERENT
+    forward than the one trained on."""
     gen, _ = build_models(cfg)
+    n_keys = 7 if cfg.optim.scheme == "three" else 8
 
     @jax.jit
     def sample(state: TrainState, batch, key):
-        k_gdrop, k_gnoise = jax.random.split(key, 7)[:2]  # same split as the step
+        k_gdrop, k_gnoise = jax.random.split(key, n_keys)[:2]
         out = gen.apply(
             {"params": state.g_params, "batch_stats": state.g_stats},
             batch, train=True, rngs={"dropout": k_gdrop, "noise": k_gnoise},

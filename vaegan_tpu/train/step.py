@@ -68,7 +68,8 @@ def make_train_step(cfg: Config, do_g_update: bool, axis_name=None) -> Callable:
             # across the per-shard batches (under GSPMD the global-shape RNG is
             # already correct and axis_name is None)
             key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
-        k_gdrop, k_gnoise, k_dreal, k_dfake, k_dinterp, k_alpha, k_dgen = jax.random.split(key, 7)
+        (k_gdrop, k_gnoise, k_dreal, k_dfake, k_dinterp, k_alpha, k_dgen,
+         k_dfeat) = jax.random.split(key, 8)
         g_rngs = {"dropout": k_gdrop, "noise": k_gnoise}
 
         # ---- generator forward, ONCE (README.md:789) -------------------------
@@ -172,7 +173,7 @@ def make_train_step(cfg: Config, do_g_update: bool, axis_name=None) -> Callable:
                 if want_feats:
                     (_, real_feats), mut_r = disc.apply(
                         {"params": new_d_params, **d_mut2}, batch, train=True,
-                        rngs={"dropout": k_dreal}, mutable=["batch_stats", "spectral"],
+                        rngs={"dropout": k_dfeat}, mutable=["batch_stats", "spectral"],
                         return_features=True)
                     # thread this train-mode forward's BN/spectral updates like
                     # every other critic forward in the step
@@ -251,7 +252,7 @@ def make_paper_train_step(cfg: Config, axis_name=None) -> Callable:
     def step(state: TrainState, batch: jax.Array, key: jax.Array) -> Tuple[TrainState, Metrics]:
         if axis_name is not None:
             key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
-        k_gdrop, k_gnoise, k_prior, k_dr, k_df, k_dp = jax.random.split(key, 6)
+        (k_gdrop, k_gnoise, k_prior, k_pdrop, k_dr, k_df, k_dp) = jax.random.split(key, 7)
         g_rngs = {"dropout": k_gdrop, "noise": k_gnoise}
         enc0, dec0 = split_g(state.g_params)
 
@@ -263,9 +264,12 @@ def make_paper_train_step(cfg: Config, axis_name=None) -> Callable:
             z_p = jax.random.normal(k_prior, mu.shape, mu.dtype)
             # the prior-sample decode is a train-mode forward: thread its BN
             # stat updates after the x_tilde forward's (torch-parity cadence)
+            # dedicated dropout key: Algorithm 1 treats x_tilde and x_p as
+            # independent fakes — reusing g_rngs would give both decodes
+            # identical dropout masks
             x_p, p_mut = gen.apply(
                 {"params": g_params, "batch_stats": g_mut["batch_stats"]},
-                z_p, train=True, rngs=g_rngs, mutable=["batch_stats"],
+                z_p, train=True, rngs={"dropout": k_pdrop}, mutable=["batch_stats"],
                 method=gen.decode)
             g_stats_out = p_mut["batch_stats"]
 
