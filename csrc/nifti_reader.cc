@@ -105,6 +105,9 @@ bool parse_header(const std::vector<uint8_t>& raw, Header* h) {
   }
   h->datatype = load_le<int16_t>(raw.data() + 70, h->big_endian);
   float vox = load_le<float>(raw.data() + 108, h->big_endian);
+  // guard the float->int64 cast: a hostile/corrupt vox_offset beyond any real
+  // file size would be UB to cast and nonsense anyway
+  if (!(vox < 1e15f)) { g_error = "bad vox_offset"; return false; }
   h->offset = vox >= 348.f ? static_cast<int64_t>(vox) : 348;
   h->scl_slope = load_le<float>(raw.data() + 112, h->big_endian);
   h->scl_inter = load_le<float>(raw.data() + 116, h->big_endian);
@@ -133,15 +136,15 @@ bool decode(const char* path, std::vector<float>* img, int64_t* h, int64_t* w) {
   if (!read_file(path, &raw)) return false;
   Header hd;
   if (!parse_header(raw, &hd)) return false;
-  int64_t n = 1;
-  for (int i = 0; i < 7; ++i) n *= hd.shape[i];
   // squeeze singleton dims (np.squeeze parity: removing size-1 dims preserves the
-  // Fortran layout of the remaining dims); exactly two must remain
+  // Fortran layout of the remaining dims); exactly two must remain. Compute n
+  // from the two surviving dims (a 7-dim product of int16 extents can overflow).
   std::vector<int64_t> dims;
   for (int i = 0; i < 7; ++i)
     if (hd.shape[i] > 1) dims.push_back(hd.shape[i]);
   if (dims.size() != 2) { g_error = "not a 2-D image after squeezing"; return false; }
   int64_t dim0 = dims[0], dim1 = dims[1];
+  int64_t n = dim0 * dim1;
   size_t esize;
   switch (hd.datatype) {
     case 2: esize = 1; break;   case 4: esize = 2; break;
