@@ -157,3 +157,20 @@ class TestCachedDataset:
         assert isinstance(ds, CachedDataset)
         import os
         assert any(f.startswith(".cache_16") for f in os.listdir(nii_dir))
+
+    def test_stale_cache_fingerprint_rejected(self, tmp_path):
+        from vaegan_tpu.data.pipeline import CachedDataset
+        d = tmp_path / "nii"
+        d.mkdir()
+        rng = np.random.default_rng(0)
+        for i in range(4):
+            nifti.write_nifti(d / f"f{i}.nii", rng.normal(size=(8, 8)).astype(np.float32))
+        ds = NiftiDataset(d, image_size=8)
+        cache = tmp_path / "c3.npy"
+        CachedDataset(ds, cache_path=str(cache))
+        # swap one file's content (same name, same count)
+        import time
+        time.sleep(0.01)
+        nifti.write_nifti(d / "f0.nii", rng.normal(size=(8, 8)).astype(np.float32))
+        with pytest.raises(ValueError, match="fingerprint"):
+            CachedDataset(NiftiDataset(d, image_size=8), cache_path=str(cache))

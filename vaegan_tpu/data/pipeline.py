@@ -116,6 +116,7 @@ class CachedDataset:
             cache_path = Path(cache_path)
             cache_path.parent.mkdir(parents=True, exist_ok=True)
             if cache_path.exists():
+                self._check_meta(cache_path)
                 self._mm = np.load(str(cache_path), mmap_mode="r")
                 if self._mm.shape != shape:
                     raise ValueError(
@@ -123,20 +124,53 @@ class CachedDataset:
                         f"{shape} — delete it or point cache_path elsewhere")
             else:
                 # populate a temp file and rename atomically: a killed run must
-                # not leave a valid-shaped zero-filled cache behind
-                tmp = cache_path.with_suffix(".tmp.npy")
+                # not leave a valid-shaped zero-filled cache behind. The pid keeps
+                # concurrent populators (multi-host shared fs) from clobbering
+                # each other's tmp file; the rename winner is arbitrary but all
+                # writers produce identical content.
+                tmp = cache_path.with_suffix(f".tmp{os.getpid()}.npy")
                 self._mm = np.lib.format.open_memmap(
                     str(tmp), mode="w+", dtype=np.float32, shape=shape)
                 self._populate(dataset, n)
                 self._mm.flush()
                 del self._mm
                 os.replace(tmp, cache_path)
+                self._write_meta(cache_path)
                 self._mm = np.load(str(cache_path), mmap_mode="r")
 
     def _populate(self, dataset, n, bs: int = 64):
         for s in range(0, n, bs):
             idx = range(s, min(s + bs, n))
             self._mm[s: s + len(idx)] = dataset.load_batch(idx)
+
+    def _fingerprint(self):
+        """Hash of (filename, size, mtime) — shape alone can't detect a swapped
+        dataset of the same length."""
+        ds = self.dataset
+        if not hasattr(ds, "filenames") or not hasattr(ds, "root_dir"):
+            return None
+        import hashlib
+        h = hashlib.sha1()
+        for f in ds.filenames:
+            st_ = os.stat(Path(ds.root_dir) / f)
+            h.update(f"{f}:{st_.st_size}:{st_.st_mtime_ns}".encode())
+        return h.hexdigest()
+
+    def _meta_path(self, cache_path):
+        return Path(str(cache_path) + ".meta")
+
+    def _write_meta(self, cache_path):
+        fp = self._fingerprint()
+        if fp is not None:
+            self._meta_path(cache_path).write_text(fp)
+
+    def _check_meta(self, cache_path):
+        fp = self._fingerprint()
+        meta = self._meta_path(cache_path)
+        if fp is not None and meta.exists() and meta.read_text() != fp:
+            raise ValueError(
+                f"cache {cache_path} was built from different source files "
+                "(fingerprint mismatch) — delete it to rebuild")
 
     def __len__(self) -> int:
         return len(self.dataset)
@@ -251,9 +285,15 @@ def device_prefetch(iterator: Iterator[np.ndarray], sharding=None,
     """
     from collections import deque
 
+    multi_host = sharding is not None and jax.process_count() > 1
     buf: "deque[jax.Array]" = deque()
     for host_batch in iterator:
-        buf.append(jax.device_put(host_batch, sharding))
+        if multi_host:
+            # each process contributes its addressable shard of the global batch;
+            # plain device_put cannot target non-addressable devices
+            buf.append(jax.make_array_from_process_local_data(sharding, host_batch))
+        else:
+            buf.append(jax.device_put(host_batch, sharding))
         if len(buf) > depth:
             yield buf.popleft()
     while buf:

@@ -42,8 +42,10 @@ def make_sampler(cfg: Config) -> Callable:
     The split count must match the step variant exactly — threefry subkeys depend
     on the total split width, so splitting differently would sample a DIFFERENT
     forward than the one trained on."""
+    from vaegan_tpu.train.step import PAPER_RNG_KEYS, TWO_OPT_RNG_KEYS
+
     gen, _ = build_models(cfg)
-    n_keys = 7 if cfg.optim.scheme == "three" else 8
+    n_keys = PAPER_RNG_KEYS if cfg.optim.scheme == "three" else TWO_OPT_RNG_KEYS
 
     @jax.jit
     def sample(state: TrainState, batch, key):
@@ -84,11 +86,6 @@ def train(
     if logger is None:
         logger = MetricsLogger(flush_every=tcfg.log_every)
 
-    sample_dir = Path(tcfg.sample_dir)
-    shutil.rmtree(sample_dir, ignore_errors=True)  # README.md:765
-    sample_dir.mkdir(parents=True, exist_ok=True)
-    sampler = make_sampler(cfg)
-
     if step_fns is not None:
         step_g, step_d = step_fns
     elif cfg.optim.scheme == "three":
@@ -106,8 +103,17 @@ def train(
             state = ckpt.restore(state)
             start_step = int(jax.device_get(state.step))
 
+    sample_dir = Path(tcfg.sample_dir)
+    if start_step == 0:
+        # fresh run: wipe like the reference (README.md:765). On resume, keep the
+        # interrupted run's grids — the skipped steps would never regenerate them.
+        shutil.rmtree(sample_dir, ignore_errors=True)
+    sample_dir.mkdir(parents=True, exist_ok=True)
+    sampler = make_sampler(cfg)
+
     n_batches = len(loader) if hasattr(loader, "__len__") else -1
     global_step = 0
+    nan_checked = 0
     t0 = time.time()
     for epoch in range(tcfg.n_epochs):
         # resume fast-forward without decoding: skip whole completed epochs by
@@ -119,7 +125,9 @@ def train(
                 loader.skip_epoch()
                 global_step += n_batches
                 continue
-            skip_in_epoch = start_step - global_step
+            # bounded to this epoch: a loader exposing iter_batches but not
+            # skip_epoch still consumes exactly one epoch per outer iteration
+            skip_in_epoch = min(start_step - global_step, n_batches)
         batch_offset = 0
         if skip_in_epoch and hasattr(loader, "iter_batches"):
             source = loader.iter_batches(skip_in_epoch)
@@ -144,13 +152,15 @@ def train(
             logger.log(epoch, tcfg.n_epochs, i, n_batches, metrics)
             if tcfg.nan_check and (global_step + 1) % logger.flush_every == 0:
                 logger.flush()
-                last = logger.history[-1]
-                bad = [k for k, v in last.items() if v != v or abs(v) == float("inf")]
+                window = logger.history[nan_checked:]
+                nan_checked = len(logger.history)
+                bad = sorted({k for m in window for k, v in m.items()
+                              if v != v or abs(v) == float("inf")})
                 if bad:
                     raise TrainingDiverged(
-                        f"non-finite metrics {bad} at epoch {epoch} batch {i} "
-                        f"(step {global_step}); last checkpoint: "
-                        f"{ckpt.latest_step() if ckpt else None}")
+                        f"non-finite metrics {bad} within the last flush window "
+                        f"(ending epoch {epoch} batch {i}, step {global_step}); "
+                        f"last checkpoint: {ckpt.latest_step() if ckpt else None}")
 
             if sample_imgs is not None:
                 from vaegan_tpu.utils.imaging import save_image_grid

@@ -45,6 +45,12 @@ from vaegan_tpu.train.state import TrainState, build_models
 
 Metrics = Dict[str, jax.Array]
 
+# RNG split widths of each step variant. Threefry subkeys depend on the TOTAL
+# split width, so anything replaying a step's generator keys (make_sampler) must
+# split with exactly the same width.
+TWO_OPT_RNG_KEYS = 8
+PAPER_RNG_KEYS = 7
+
 
 def _clip_params(params, clip):
     return jax.tree.map(lambda p: jnp.clip(p, -clip, clip), params)
@@ -69,7 +75,7 @@ def make_train_step(cfg: Config, do_g_update: bool, axis_name=None) -> Callable:
             # already correct and axis_name is None)
             key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         (k_gdrop, k_gnoise, k_dreal, k_dfake, k_dinterp, k_alpha, k_dgen,
-         k_dfeat) = jax.random.split(key, 8)
+         k_dfeat) = jax.random.split(key, TWO_OPT_RNG_KEYS)
         g_rngs = {"dropout": k_gdrop, "noise": k_gnoise}
 
         # ---- generator forward, ONCE (README.md:789) -------------------------
@@ -252,7 +258,8 @@ def make_paper_train_step(cfg: Config, axis_name=None) -> Callable:
     def step(state: TrainState, batch: jax.Array, key: jax.Array) -> Tuple[TrainState, Metrics]:
         if axis_name is not None:
             key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
-        (k_gdrop, k_gnoise, k_prior, k_pdrop, k_dr, k_df, k_dp) = jax.random.split(key, 7)
+        (k_gdrop, k_gnoise, k_prior, k_pdrop, k_dr, k_df, k_dp) = jax.random.split(
+            key, PAPER_RNG_KEYS)
         g_rngs = {"dropout": k_gdrop, "noise": k_gnoise}
         enc0, dec0 = split_g(state.g_params)
 
@@ -324,7 +331,10 @@ def make_paper_train_step(cfg: Config, axis_name=None) -> Callable:
         new_enc = optax.apply_updates(enc0, enc_up)
         new_dec = optax.apply_updates(dec0, dec_up)
         new_d = optax.apply_updates(state.d_params, dis_up)
-        if lcfg.clip_value is not None:
+        # the ±clip is the notebook's WGAN device (README.md:805); Algorithm 1 has
+        # no weight clamp — applying the DEFAULT clip_value=0.01 to a BCE critic
+        # would silently cripple it. Clamp only for explicit WGAN configurations.
+        if lcfg.clip_value is not None and lcfg.adversarial == "wgan":
             new_d = _clip_params(new_d, lcfg.clip_value)
 
         g_metrics = {"g_loss": enc_l + dec_l, "adv_loss": l_gan,
