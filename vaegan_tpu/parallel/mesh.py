@@ -36,6 +36,14 @@ def make_mesh(num_data: int = -1, num_model: int = 1,
     devices = list(devices if devices is not None else jax.devices())
     if num_data == -1:
         num_data = len(devices) // num_model
+    if num_data * num_model > len(devices):
+        raise ValueError(
+            f"make_mesh needs {num_data}x{num_model}={num_data * num_model} devices, "
+            f"have {len(devices)} ({devices[0].platform if devices else 'none'}); "
+            "on a single-chip host force a virtual CPU mesh first "
+            "(XLA_FLAGS=--xla_force_host_platform_device_count=N + "
+            "jax.config.update('jax_platforms', 'cpu'))"
+        )
     use = np.array(devices[: num_data * num_model]).reshape(num_data, num_model)
     return Mesh(use, (data_axis, model_axis))
 
