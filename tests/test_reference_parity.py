@@ -1,0 +1,444 @@
+"""Parity against the reference's OWN classes, exec'd out of /root/reference/gan.ipynb.
+
+tests/test_torch_parity.py checks our modules against torch fixtures re-built from
+our module spec — a transcription error shared by fixture and implementation would be
+invisible there. This harness closes that gap: the actual notebook code cells
+(ResBlockVAE/Encoder/Decoder README.md:126-294, Discriminator 356-498,
+SpatialVAECodeProcessor/UnsupervisedGeneratorNetwork 522-668, init_weights /
+compute_gradient_penalty / train_network_wgan 694-834) are executed verbatim, their
+``state_dict``s imported through vaegan_tpu.interop, and we assert:
+
+(a) eval-mode generator forward parity (96x96 and 256x256),
+(b) eval-mode critic forward parity at 256x256 (the reference's Discriminator
+    hardcodes ``input_size=[1,256,256]`` for its flatten width, README.md:435, so
+    its own class can ONLY run at 256x256 — our any-resolution critic is compared
+    at the one resolution the reference supports),
+(c) ONE full ``train_network_wgan`` step (the reference's own loop body) vs
+    ``make_train_step`` with dropout p=0 and the torch-drawn reparam eps / GP alpha
+    injected — all 7 printed metrics, post-step params, BN running stats, and
+    spectral u/v must agree.
+
+The notebook code is exec'd AT TEST TIME from /root/reference (never copied into
+the repo); random draws are captured by proxying ``torch.randn_like`` and
+``np.random.random`` in the exec namespace and replayed into our step via the
+``inject`` hook.
+"""
+
+import ast
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as TF  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from vaegan_tpu import interop  # noqa: E402
+from vaegan_tpu.config import (  # noqa: E402
+    Config, DataConfig, DiscriminatorConfig, GeneratorConfig, TrainConfig,
+)
+from vaegan_tpu.train.optim import build_optimizer  # noqa: E402
+from vaegan_tpu.train.state import TrainState, build_models  # noqa: E402
+from vaegan_tpu.train.step import make_train_step  # noqa: E402
+
+NOTEBOOK = Path("/root/reference/gan.ipynb")
+
+pytestmark = pytest.mark.skipif(not NOTEBOOK.exists(), reason="reference notebook absent")
+
+
+def t2j_nhwc(t):
+    return jnp.asarray(t.detach().numpy().transpose(0, 2, 3, 1))
+
+
+def j2t_nchw(a):
+    return torch.from_numpy(np.asarray(a).transpose(0, 3, 1, 2))
+
+
+class _Recorder:
+    def __init__(self):
+        self.eps = []        # torch.randn_like draws (reparam noise)
+        self.alpha = []      # np.random.random draws (GP mixing)
+        self.d_out = []      # every discriminator forward output
+        self.g_out = []      # every generator forward output (tuple)
+        self.gp = None       # compute_gradient_penalty return value
+
+    def clear(self):
+        self.__init__()
+
+
+def _load_namespace():
+    """Exec the reference's model + training cells into a fresh namespace, with
+    torch.randn_like / np.random.random proxied for draw capture."""
+    nb = json.loads(NOTEBOOK.read_text())
+    cells = ["".join(c["source"]) for c in nb["cells"] if c["cell_type"] == "code"]
+
+    def cell(marker):
+        return next(s for s in cells if marker in s)
+
+    rec = _Recorder()
+    ns = {
+        "os": __import__("os"),
+        "Path": Path,
+        "save_image": lambda *a, **k: None,   # torchvision IO side effect, stubbed
+        "print": lambda *a, **k: None,        # per-batch log line, silenced
+    }
+    for marker in ("class ResBlockVAE", "class ResBlockDiscriminator",
+                   "class SpatialVAECodeProcessor"):
+        exec(compile(cell(marker), f"<gan.ipynb:{marker}>", "exec"), ns)
+
+    # The training cell also imports torchvision (unavailable) and launches a full
+    # experiment() at the bottom; keep only its imports (minus torchvision),
+    # the device/Tensor assigns, and the function defs.
+    train_src = cell("def train_network_wgan")
+    tree = ast.parse(train_src)
+    keep = []
+    for node in tree.body:
+        if isinstance(node, ast.ImportFrom) and node.module and "torchvision" in node.module:
+            continue
+        if isinstance(node, (ast.Import, ast.ImportFrom, ast.FunctionDef)):
+            keep.append(node)
+        elif isinstance(node, ast.Assign) and all(
+                isinstance(t, ast.Name) and t.id in ("device", "Tensor")
+                for t in node.targets):
+            keep.append(node)
+    exec(compile(ast.Module(body=keep, type_ignores=[]), "<gan.ipynb:train>", "exec"), ns)
+
+    # ---- draw-capture proxies (installed AFTER exec so the cells' own `import
+    # torch` / `import numpy as np` rebinds are overridden in the shared ns) ----
+    real_torch, real_np = torch, np
+
+    class TorchProxy:
+        def __getattr__(self, name):
+            return getattr(real_torch, name)
+
+        def randn_like(self, t, *a, **k):
+            e = real_torch.randn_like(t, *a, **k)
+            rec.eps.append(e.detach().clone())
+            return e
+
+    class NpRandomProxy:
+        def __getattr__(self, name):
+            return getattr(real_np.random, name)
+
+        def random(self, size=None):
+            a = real_np.random.random(size)
+            rec.alpha.append(np.array(a, copy=True))
+            return a
+
+    class NpProxy:
+        random = NpRandomProxy()
+
+        def __getattr__(self, name):
+            return getattr(real_np, name)
+
+    ns["torch"] = TorchProxy()
+    ns["np"] = NpProxy()
+
+    orig_gp = ns["compute_gradient_penalty"]
+
+    def recording_gp(D, real_samples, fake_samples):
+        out = orig_gp(D, real_samples, fake_samples)
+        rec.gp = float(out.detach())
+        return out
+
+    ns["compute_gradient_penalty"] = recording_gp
+    return ns, rec
+
+
+@pytest.fixture(scope="module")
+def ref():
+    return _load_namespace()
+
+
+class _RecordForward(torch.nn.Module):
+    """Pass-through wrapper logging every forward output (detached clones)."""
+
+    def __init__(self, mod, log):
+        super().__init__()
+        self.mod = mod
+        self._log = log
+
+    def forward(self, *a, **k):
+        out = self.mod(*a, **k)
+        if isinstance(out, tuple):
+            self._log.append(tuple(o.detach().clone() for o in out))
+        else:
+            self._log.append(out.detach().clone())
+        return out
+
+    def __getattr__(self, name):
+        try:
+            return super().__getattr__(name)
+        except AttributeError:
+            return getattr(self.mod, name)
+
+
+def _zero_dropout(module):
+    for m in module.modules():
+        if isinstance(m, (torch.nn.Dropout, torch.nn.Dropout2d)):
+            m.p = 0.0
+
+
+class _GradRecordingRMSprop(torch.optim.RMSprop):
+    """Records each parameter's raw gradient at step() time (pre-weight-decay).
+
+    Needed to identify leaves whose TRUE gradient is numerically zero — e.g. a
+    shortcut_bn bias whose per-channel shift is exactly annihilated by the next
+    block's train-mode BN mean subtraction, or the final critic bias under the
+    mean-based WGAN loss. There both frameworks compute ~1e-7 cancellation noise
+    and RMSprop's g/(sqrt(0.01 g^2)+eps) amplifies it to full-scale sign-noise
+    updates: the update direction is mathematically undetermined, so those leaves
+    are compared against the update-magnitude bound instead."""
+
+    def __init__(self, module, store, **kw):
+        self._named = list(module.named_parameters())
+        super().__init__([p for _, p in self._named], **kw)
+        self._store = store
+
+    def step(self, closure=None):
+        for n, p in self._named:
+            if p.grad is not None:
+                self._store[n] = p.grad.detach().clone()
+        return super().step(closure)
+
+
+def _build_ref_generator(ns, depth, length, feature_size):
+    fd = feature_size * 2 ** depth
+    gen = ns["UnsupervisedGeneratorNetwork"](
+        encoder=ns["Encoder"](in_channels=1, depth=depth, length=length,
+                              feature_size=feature_size),
+        decoder=ns["Decoder"](in_channels=fd, depth=depth, length=length,
+                              reconstruction_channels=1),
+        code_processor=ns["SpatialVAECodeProcessor"](feature_depth=fd, is_training=True),
+        is_vae=True,
+    )
+    gen.apply(ns["init_weights"])
+    return gen
+
+
+def _build_ref_discriminator(ns, **params):
+    disc = ns["Discriminator"](block=ns["ResBlockDiscriminator"], **params)
+    disc.apply(ns["init_weights"])
+    return disc
+
+
+class TestReferenceGeneratorForward:
+    @pytest.mark.parametrize("size,depth,length,feature", [(96, 2, 2, 8), (256, 2, 1, 4)])
+    def test_eval_forward(self, ref, size, depth, length, feature):
+        ns, rec = ref
+        torch.manual_seed(size)
+        gen = _build_ref_generator(ns, depth, length, feature)
+        # move BN running stats + consume reparam noise with train-mode forwards so
+        # the eval comparison exercises real running statistics, not the 0/1 init
+        with torch.no_grad():
+            for i in range(2):
+                gen(torch.rand(2, 1, size, size))
+        gen.set_is_training(False)
+        gen.eval()
+        x = torch.rand(2, 1, size, size)
+        with torch.no_grad():
+            ref_recon, ref_mu, ref_lv = gen(x)
+
+        variables = jax.tree.map(
+            jnp.asarray, interop.reference_generator_to_variables(gen.state_dict()))
+        cfg = GeneratorConfig(depth=depth, length=length, feature_size=feature)
+        from vaegan_tpu.models import UnsupervisedGeneratorNetwork
+        ours = UnsupervisedGeneratorNetwork(cfg=cfg)
+        recon, mu, lv = jax.jit(
+            lambda v, x: ours.apply(v, x, train=False))(variables, t2j_nhwc(x))
+
+        for got, want in ((mu, ref_mu), (lv, ref_lv), (recon, ref_recon)):
+            np.testing.assert_allclose(
+                np.asarray(got), want.numpy().transpose(0, 2, 3, 1),
+                rtol=1e-3, atol=1e-4)
+
+
+class TestReferenceCriticForward:
+    def test_eval_forward_256(self, ref):
+        ns, rec = ref
+        torch.manual_seed(7)
+        params = dict(num_stride_conv1=2, num_features_conv1=4,
+                      num_blocks=[1, 1], num_strides_res=[2, 2],
+                      num_features_res=[8, 8])
+        disc = _build_ref_discriminator(ns, **params)
+        # train-mode forwards: move BN stats AND run spectral power iterations so
+        # the imported u/v are real estimates
+        disc.train()
+        with torch.no_grad():
+            for i in range(3):
+                disc(torch.rand(2, 1, 256, 256))
+        disc.eval()
+        x = torch.rand(2, 1, 256, 256)
+        with torch.no_grad():
+            ref_logits = disc(x)
+
+        variables = jax.tree.map(jnp.asarray, interop.reference_discriminator_to_variables(
+            disc.state_dict(), pool_shape=(8, 8, 8)))
+        from vaegan_tpu.models import Discriminator
+        cfg = DiscriminatorConfig(
+            num_stride_conv1=2, num_features_conv1=4, num_blocks=(1, 1),
+            num_strides_res=(2, 2), num_features_res=(8, 8), pool_size=4,
+            linear_widths=(1024, 512, 256))
+        ours = Discriminator(cfg=cfg)
+        logits = jax.jit(
+            lambda v, x: ours.apply(v, x, train=False))(variables, t2j_nhwc(x))
+        np.testing.assert_allclose(
+            np.asarray(logits), ref_logits.numpy(), rtol=1e-3, atol=1e-4)
+
+
+class TestReferenceOneTrainStep:
+    """ONE step of the reference's own train_network_wgan (README.md:775-834) vs
+    make_train_step, dropout p=0, torch eps/alpha injected. Catches event-order bugs
+    (BN-stat & spectral-u/v threading across the 4 critic forwards, update-then-clamp,
+    G scored by the UPDATED critic on the PRE-update generator output) that no
+    isolated-module parity test can."""
+
+    LR, W_ADV, W_REC, W_KL, LAMBDA_GP, CLIP = 3e-4, 1.0, 10.0, 0.1, 10.0, 0.01
+
+    def _torch_side(self, ns, rec, imgs, tmp_path):
+        torch.manual_seed(11)
+        np.random.seed(13)
+        gen = _build_ref_generator(ns, depth=1, length=1, feature_size=4)
+        disc = _build_ref_discriminator(
+            ns, num_stride_conv1=2, num_features_conv1=4, num_blocks=[1, 1],
+            num_strides_res=[2, 2], num_features_res=[8, 8])
+        _zero_dropout(gen)
+        _zero_dropout(disc)
+        gen_sd0 = {k: v.detach().clone() for k, v in gen.state_dict().items()}
+        disc_sd0 = {k: v.detach().clone() for k, v in disc.state_dict().items()}
+
+        rec.clear()
+        gen_w = _RecordForward(gen, rec.g_out)
+        disc_w = _RecordForward(disc, rec.d_out)
+        g_grads, d_grads = {}, {}
+        ns["train_network_wgan"](
+            n_epochs=1,
+            dataloader=[imgs],
+            vae_generator=gen_w,
+            discriminator=disc_w,
+            optimizer_G=_GradRecordingRMSprop(gen, g_grads, lr=self.LR, weight_decay=1e-5),
+            optimizer_D=_GradRecordingRMSprop(disc, d_grads, lr=self.LR, weight_decay=1e-5),
+            reconstruction_loss_funs=[torch.nn.L1Loss(), torch.nn.MSELoss()],
+            Tensor=torch.FloatTensor,
+            sample_interval=20,
+            gan_inference_folder=tmp_path / "gan_inference",
+            adversarial_loss_weight=self.W_ADV,
+            reconstruction_loss_weight=self.W_REC,
+            kl_weight=self.W_KL,
+            use_neptune=False,
+            n_critics=1,
+            lambda_gp=self.LAMBDA_GP,
+        )
+        assert len(rec.d_out) == 4 and len(rec.g_out) == 1
+        assert len(rec.eps) == 1 and len(rec.alpha) == 1 and rec.gp is not None
+
+        gen_imgs, mu, lv = rec.g_out[0]
+        real_loss = float(-rec.d_out[0].mean())
+        fake_loss = float(rec.d_out[1].mean())
+        d_loss = real_loss + fake_loss + self.LAMBDA_GP * rec.gp
+        adv = float(-rec.d_out[3].mean())
+        recon = float(TF.l1_loss(gen_imgs, imgs) + TF.mse_loss(gen_imgs, imgs))
+        kl = float(-0.5 * torch.sum(1 + lv - mu.pow(2) - lv.exp()))
+        expected = {
+            "d_real_loss": real_loss, "d_fake_loss": fake_loss, "gp": rec.gp,
+            "d_loss": d_loss, "adv_loss": adv, "recon_loss": recon, "kl": kl,
+            "g_loss": self.W_ADV * adv + self.W_REC * recon + self.W_KL * kl,
+        }
+        return gen, disc, gen_sd0, disc_sd0, expected, g_grads, d_grads
+
+    def _our_state(self, cfg, gen_sd, disc_sd):
+        gv = jax.tree.map(jnp.asarray, interop.reference_generator_to_variables(gen_sd))
+        dv = jax.tree.map(jnp.asarray, interop.reference_discriminator_to_variables(
+            disc_sd, pool_shape=(8, 8, 8)))
+        tx = build_optimizer(cfg.optim)
+        zero = jnp.zeros((), jnp.float32)
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            g_params=gv["params"], d_params=dv["params"],
+            g_stats=gv["batch_stats"], d_stats=dv["batch_stats"],
+            d_spectral=dv["spectral"],
+            opt_g=tx.init(gv["params"]), opt_d=tx.init(dv["params"]),
+            g_metrics={"g_loss": zero, "adv_loss": zero, "recon_loss": zero, "kl": zero},
+        )
+
+    def _cfg(self):
+        return Config(
+            generator=GeneratorConfig(depth=1, length=1, feature_size=4, dropout_prob=0.0),
+            discriminator=DiscriminatorConfig(
+                num_stride_conv1=2, num_features_conv1=4, num_blocks=(1, 1),
+                num_strides_res=(2, 2), num_features_res=(8, 8), dropout_prob=0.0,
+                pool_size=4, linear_widths=(1024, 512, 256)),
+            data=DataConfig(image_size=256, batch_size=2),
+            train=TrainConfig(use_pallas="off", critic_batching="separate"),
+        )
+
+    def test_one_step(self, ref, tmp_path):
+        ns, rec = ref
+        torch.manual_seed(5)
+        imgs = torch.rand(2, 1, 256, 256)
+        gen, disc, gen_sd0, disc_sd0, expected, g_grads, d_grads = (
+            self._torch_side(ns, rec, imgs, tmp_path))
+
+        cfg = self._cfg()
+        state = self._our_state(cfg, gen_sd0, disc_sd0)
+        inject = {
+            "eps": t2j_nhwc(rec.eps[0]),
+            "alpha": jnp.asarray(np.float32(rec.alpha[0])),
+        }
+        step = make_train_step(cfg, do_g_update=True, inject=inject)
+        new_state, metrics = jax.jit(step)(state, t2j_nhwc(imgs), jax.random.key(0))
+
+        # (1) all 7 reference metrics + composite g_loss
+        for k, want in expected.items():
+            got = float(jax.device_get(metrics[k]))
+            np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4, err_msg=k)
+
+        # (2) post-step params / BN stats / spectral u,v
+        gv1 = interop.reference_generator_to_variables(gen.state_dict())
+        dv1 = interop.reference_discriminator_to_variables(
+            disc.state_dict(), pool_shape=(8, 8, 8))
+        # torch gradients (recorded at optimizer.step) mapped onto our param trees:
+        # identify leaves whose true gradient is numerically zero (see
+        # _GradRecordingRMSprop) — their RMSprop update direction is undefined
+        gg1 = interop.reference_generator_to_variables(g_grads)["params"]
+        dg1 = interop.reference_discriminator_to_variables(
+            d_grads, pool_shape=(8, 8, 8))["params"]
+        # RMSprop update-magnitude bound: lr * g / (sqrt(0.01 g^2) + eps) < 10 * lr
+        update_bound = 10.0 * self.LR
+
+        def tree_close(got, want, what, rtol, atol, grads=None):
+            got_f = jax.tree_util.tree_flatten_with_path(got)[0]
+            want_f = jax.tree_util.tree_flatten_with_path(want)[0]
+            grads_f = (jax.tree_util.tree_flatten_with_path(grads)[0]
+                       if grads is not None else [(None, None)] * len(got_f))
+            assert len(got_f) == len(want_f) == len(grads_f), what
+            for (pg, g), (pw, w), (_, gr) in zip(got_f, want_f, grads_f):
+                assert pg == pw, f"{what}: tree mismatch {pg} vs {pw}"
+                g, w = np.asarray(g), np.asarray(w)
+                tol = atol + rtol * np.abs(w)
+                if gr is not None:
+                    # per-element: where the true gradient is numerically zero,
+                    # both sides move by amplified cancellation noise and only
+                    # the update-magnitude bound is meaningful
+                    tol = np.where(np.abs(np.asarray(gr)) < 1e-4,
+                                   2.5 * update_bound, tol)
+                bad = np.abs(g - w) > tol
+                assert not bad.any(), (
+                    f"{what}{jax.tree_util.keystr(pg)}: {int(bad.sum())}/{bad.size} "
+                    f"elements out of tolerance, max |diff| "
+                    f"{float(np.abs(g - w)[bad].max()):.3e}")
+
+        # g_stats see the exact same input batch: tight. d_stats/d_spectral see
+        # gen_imgs/interpolates, which carry ~1e-4 cross-framework fp32 forward
+        # drift that the stat updates then integrate: looser.
+        tree_close(new_state.g_stats, gv1["batch_stats"], "g_stats", 1e-4, 1e-5)
+        tree_close(new_state.d_stats, dv1["batch_stats"], "d_stats", 2e-2, 1e-3)
+        tree_close(new_state.d_spectral, dv1["spectral"], "d_spectral", 2e-2, 1e-3)
+        tree_close(new_state.g_params, gv1["params"], "g_params", 5e-3, 5e-5,
+                   grads=gg1)
+        tree_close(new_state.d_params, dv1["params"], "d_params", 5e-3, 5e-5,
+                   grads=dg1)

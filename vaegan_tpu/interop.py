@@ -18,6 +18,7 @@ Layout conversions (torch -> ours):
 
 from __future__ import annotations
 
+import re
 from typing import Any, Dict, Mapping, Optional, Tuple
 
 import numpy as np
@@ -141,3 +142,41 @@ def torch_state_dict_to_variables(
     if spectral:
         out["spectral"] = spectral
     return out
+
+
+# --- reference-notebook state_dict layouts ----------------------------------
+#
+# The reference wraps its block dicts one module deeper than we do:
+# ``UnsupervisedGeneratorNetwork.encoder`` is an ``Encoder`` whose own attribute
+# ``encoder`` holds the Sequential(OrderedDict) of blocks (README.md:236 / 291),
+# so generator keys read ``encoder.encoder.encoder-depth_0-level_0...``; its
+# ``Discriminator.res_layers`` is a Sequential of per-stage Sequentials
+# (README.md:453 / 488-498), so critic keys read ``res_layers.0.0...``. These map
+# the keys onto our single-level module names before the generic conversion.
+
+_RES_LAYERS_RE = re.compile(r"^res_layers\.(\d+)\.(\d+)\.")
+
+
+def reference_generator_to_variables(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
+    """Convert the reference ``UnsupervisedGeneratorNetwork.state_dict()``."""
+    mapped = {}
+    for k, v in state_dict.items():
+        if k.startswith("encoder.encoder."):
+            k = "encoder." + k[len("encoder.encoder."):]
+        elif k.startswith("decoder.decoder."):
+            k = "decoder." + k[len("decoder.decoder."):]
+        mapped[k] = v
+    return torch_state_dict_to_variables(mapped)
+
+
+def reference_discriminator_to_variables(
+    state_dict: Mapping[str, Any], pool_shape: Tuple[int, int, int],
+) -> Dict[str, Any]:
+    """Convert the reference ``Discriminator.state_dict()``. ``pool_shape`` is the
+    (C, H, W) of the avg-pool output feeding ``linear_1`` (flatten-order permute)."""
+    mapped = {
+        _RES_LAYERS_RE.sub(lambda m: f"res_layers_{m.group(1)}_{m.group(2)}.", k): v
+        for k, v in state_dict.items()
+    }
+    return torch_state_dict_to_variables(
+        mapped, first_linear="linear_1", pool_shape=pool_shape)

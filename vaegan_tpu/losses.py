@@ -78,6 +78,7 @@ def gradient_penalty(
     real: jax.Array,
     fake: jax.Array,
     key: jax.Array,
+    alpha: Any = None,
 ) -> Tuple[jax.Array, Any]:
     """WGAN-GP (reference README.md:717-739).
 
@@ -94,7 +95,11 @@ def gradient_penalty(
     and returned alongside the penalty.
     """
     b = real.shape[0]
-    alpha = jax.random.uniform(key, (b, 1, 1, 1), jnp.float32)
+    if alpha is None:
+        alpha = jax.random.uniform(key, (b, 1, 1, 1), jnp.float32)
+    else:
+        # parity-harness override: replay the reference's numpy alpha draw
+        alpha = jnp.asarray(alpha, jnp.float32).reshape(b, 1, 1, 1)
     interp = alpha * real.astype(jnp.float32) + (1.0 - alpha) * fake.astype(jnp.float32)
     interp = interp.astype(real.dtype)
 

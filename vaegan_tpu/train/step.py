@@ -56,11 +56,18 @@ def _clip_params(params, clip):
     return jax.tree.map(lambda p: jnp.clip(p, -clip, clip), params)
 
 
-def make_train_step(cfg: Config, do_g_update: bool, axis_name=None) -> Callable:
+def make_train_step(cfg: Config, do_g_update: bool, axis_name=None,
+                    inject: Dict[str, jax.Array] = None) -> Callable:
     """Two-optimizer step (the notebook's scheme). Returns
     ``step(state, batch, key) -> (state, metrics)``; wrap in jit/pjit yourself or use
     vaegan_tpu.parallel.make_parallel_step.
+
+    ``inject`` (parity harness only) overrides the step's random draws with
+    externally supplied tensors: ``{"eps": NHWC reparam noise, "alpha": (B,1,1,1)
+    GP mixing factors}`` — used to replay the reference's torch/numpy draws so one
+    step is comparable number-for-number (tests/test_reference_parity.py).
     """
+    inject = inject or {}
     gen, disc = build_models(cfg, axis_name)
     tx_g = build_optimizer(cfg.optim)
     tx_d = build_optimizer(cfg.optim)
@@ -85,7 +92,8 @@ def make_train_step(cfg: Config, do_g_update: bool, axis_name=None) -> Callable:
         def gen_forward(g_params):
             out, mut = gen.apply(
                 {"params": g_params, "batch_stats": state.g_stats},
-                batch, train=True, rngs=g_rngs, mutable=["batch_stats"])
+                batch, train=True, rngs=g_rngs, mutable=["batch_stats"],
+                eps=inject.get("eps"))
             if cfg.generator.is_vae:
                 r, m, lv = out
             else:
@@ -131,7 +139,7 @@ def make_train_step(cfg: Config, do_g_update: bool, axis_name=None) -> Callable:
             if use_gp:
                 gp, st = losses.gradient_penalty(
                     lambda x, st=st: d_apply(x, st, k_dinterp),
-                    batch, gen_imgs_sg, k_alpha)
+                    batch, gen_imgs_sg, k_alpha, alpha=inject.get("alpha"))
             else:
                 gp = jnp.zeros((), jnp.float32)
             d_loss = real_loss + fake_loss + lcfg.lambda_gp * gp
