@@ -27,6 +27,57 @@ import jax
 import jax.numpy as jnp
 
 
+def bench_loader() -> None:
+    """Host-pipeline headroom: CachedDataset -> DataLoader -> device_prefetch
+    images/sec, NO train step. Answers whether the 1-core host can feed the
+    measured plain-VAE step rate (~3k img/s at 96x96)."""
+    batch_size = int(os.environ.get("BENCH_BATCH", 128))
+    image = int(os.environ.get("BENCH_IMAGE", 96))
+    n = int(os.environ.get("BENCH_DATASET", 1200))
+
+    from vaegan_tpu.data.pipeline import (
+        CachedDataset, DataLoader, SyntheticDataset, device_prefetch)
+
+    ds = CachedDataset(SyntheticDataset(n, image))  # decode once up front
+    dl = DataLoader(ds, batch_size=batch_size, shuffle=True, drop_last=True,
+                    prefetch_batches=4)
+
+    # (a) host-side serving rate (cache -> assembled numpy batches): the actual
+    # question — can the 1-core host keep up with the train step's img/s?
+    for _ in iter(dl):
+        pass  # warm page cache
+    t0 = time.perf_counter()
+    imgs = 0
+    for _ in range(3):
+        for b in iter(dl):
+            imgs += b.shape[0]
+    host_rate = imgs / (time.perf_counter() - t0)
+
+    # (b) with device placement. NOTE: in this environment the chip sits behind a
+    # network tunnel, so H2D here measures TUNNEL bandwidth, not the DMA a
+    # co-located TPU host would do — reported for completeness only.
+    last = None
+    for b in device_prefetch(iter(dl), depth=2):
+        last = b
+    jax.block_until_ready(last)
+    t0 = time.perf_counter()
+    imgs = 0
+    for _ in range(2):
+        for b in device_prefetch(iter(dl), depth=2):
+            imgs += b.shape[0]
+            last = b
+    float(jax.device_get(last[0, 0, 0, 0]))  # hard sync (tunnel-safe)
+    h2d_rate = imgs / (time.perf_counter() - t0)
+
+    print(json.dumps({
+        "metric": f"{image}x{image} cached-dataset host serving rate (batch {batch_size})",
+        "value": round(host_rate, 1),
+        "unit": "images/sec",
+        "vs_baseline": round(host_rate / 5000.0, 3),
+        "h2d_images_per_sec_tunnel": round(h2d_rate, 1),
+    }))
+
+
 def main() -> None:
     batch_size = int(os.environ.get("BENCH_BATCH", 128))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
@@ -45,9 +96,10 @@ def main() -> None:
     state = create_train_state(cfg, jax.random.key(0))
     step = jax.jit(make_train_step(cfg, do_g_update=True), donate_argnums=0)
     batch = jax.random.uniform(jax.random.key(1), (batch_size, image, image, 1), jnp.float32)
-    # rbg: hardware-friendly counter RNG for the dropout/noise streams (threefry
-    # costs ~15% of the generator forward at 96x96)
-    key = jax.random.key(2, impl="rbg")
+    # the shipped training loop's key stream (TrainConfig.rng_impl, default rbg —
+    # the hardware-friendly counter RNG; threefry costs ~15% of the generator
+    # forward at 96x96): bench measures exactly what train() runs
+    key = jax.random.key(2, impl=cfg.train.rng_impl)
 
     # compile + warmup. NOTE: sync via device_get of a value — on the tunneled
     # axon backend block_until_ready returns before execution completes.
@@ -72,4 +124,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--loader" in sys.argv:
+        bench_loader()
+    else:
+        main()

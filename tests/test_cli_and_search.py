@@ -73,6 +73,36 @@ class TestRandomSearchRun:
         # registry written, dedup active
         assert S.check_already_done(e["params"], tmp_path / "r/params.json")
 
+    def test_trial_step_budget_is_bounded(self, tmp_path, monkeypatch):
+        # a trial may not run the base config's full epochs: max_steps_per_trial
+        # caps it (the reference's search ran a full experiment per trial)
+        base = tiny_base(tmp_path).replace(
+            train=tiny_base(tmp_path).train.replace(n_epochs=50))
+        seen = {}
+        from vaegan_tpu.train import loop as loop_mod
+        orig_train = loop_mod.train
+
+        def spy_train(cfg, *a, **k):
+            seen["max_steps"] = cfg.train.max_steps
+            return orig_train(cfg, *a, **k)
+
+        # random_search does `from vaegan_tpu.train.loop import train` at call
+        # time, so patch the source module
+        monkeypatch.setattr(loop_mod, "train", spy_train)
+        monkeypatch.setattr(S, "SEARCH_SPACE", {
+            **S.SEARCH_SPACE,
+            "network_depth": [1], "network_length": [1], "feature_size": [8],
+            "num_features_conv1": [8],
+            "num_blocks": [[1]], "num_strides_res": [[2]], "num_features_res": [[16]],
+            "n_critics": [1],
+        })
+        entries = S.random_search(base, n_trials=1,
+                                  results_path=str(tmp_path / "r3/params.json"),
+                                  archive_dir=str(tmp_path / "r3/archive"), seed=0,
+                                  max_steps_per_trial=3)
+        assert seen["max_steps"] == 3
+        assert entries[0]["status"] == "ok"
+
     def test_failed_trial_is_recorded(self, tmp_path, monkeypatch):
         base = tiny_base(tmp_path)
         monkeypatch.setattr(S, "params_to_config",

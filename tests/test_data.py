@@ -109,6 +109,32 @@ class TestLoader:
         with pytest.raises(ValueError):
             list(DataLoader(ds, 1, shuffle=False, prefetch_batches=2))
 
+    def test_process_sharded_loader_partitions_global_batches(self):
+        # multi-host contract: every process sees the IDENTICAL global shuffle
+        # (same seed) and yields a distinct contiguous batch_size/process_count
+        # shard; concatenating the shards reconstructs the unsharded batches,
+        # and the partial tail batch is dropped (it cannot be split evenly)
+        ds = SyntheticDataset(14, 8, seed=0)
+        full = list(DataLoader(ds, 4, shuffle=True, seed=3, drop_last=True,
+                               prefetch_batches=0))
+        shards = [
+            list(DataLoader(ds, 4, shuffle=True, seed=3, prefetch_batches=0,
+                            process_index=pi, process_count=2))
+            for pi in range(2)
+        ]
+        assert len(shards[0]) == len(shards[1]) == len(full) == 3  # 14 -> 3 full
+        for b0, b1, fb in zip(shards[0], shards[1], full):
+            assert b0.shape == b1.shape == (2, 8, 8, 1)
+            np.testing.assert_array_equal(np.concatenate([b0, b1]), fb)
+            assert not np.array_equal(b0, b1)
+
+    def test_process_sharding_validates_divisibility(self):
+        ds = SyntheticDataset(8, 8, seed=0)
+        with pytest.raises(ValueError, match="divisible"):
+            DataLoader(ds, 5, process_index=0, process_count=2)
+        with pytest.raises(ValueError, match="out of range"):
+            DataLoader(ds, 4, process_index=2, process_count=2)
+
     def test_device_prefetch(self):
         import jax
         ds = SyntheticDataset(12, 8, seed=0)
@@ -173,4 +199,20 @@ class TestCachedDataset:
         time.sleep(0.01)
         nifti.write_nifti(d / "f0.nii", rng.normal(size=(8, 8)).astype(np.float32))
         with pytest.raises(ValueError, match="fingerprint"):
+            CachedDataset(NiftiDataset(d, image_size=8), cache_path=str(cache))
+
+    def test_missing_meta_sidecar_rejected(self, tmp_path):
+        # a published cache with no fingerprint sidecar is unverifiable (e.g. a
+        # crash wiped it, or a pre-fix cache): refuse rather than silently trust
+        from vaegan_tpu.data.pipeline import CachedDataset
+        d = tmp_path / "nii"
+        d.mkdir()
+        rng = np.random.default_rng(1)
+        for i in range(3):
+            nifti.write_nifti(d / f"f{i}.nii", rng.normal(size=(8, 8)).astype(np.float32))
+        ds = NiftiDataset(d, image_size=8)
+        cache = tmp_path / "c4.npy"
+        CachedDataset(ds, cache_path=str(cache))
+        (tmp_path / "c4.npy.meta").unlink()
+        with pytest.raises(ValueError, match="sidecar"):
             CachedDataset(NiftiDataset(d, image_size=8), cache_path=str(cache))

@@ -56,6 +56,14 @@ class TestLoop:
         dumps = sorted(os.listdir(tmp_path / "samples"))
         assert dumps == ["0.png", "2.png"]
 
+    def test_max_steps_budget(self, tmp_path):
+        # 16 imgs / batch 4 x 3 epochs = 12 steps unbounded; budget stops at 5
+        cfg = tiny_cfg(tmp_path, max_steps=5)
+        cfg = cfg.replace(train=cfg.train.replace(n_epochs=3))
+        state, logger = train(cfg)
+        assert int(jax.device_get(state.step)) == 5
+        assert len([m for m in logger.history if "_wall_s" not in m]) == 5
+
     def test_n_critics_scheduling(self, tmp_path):
         cfg = tiny_cfg(tmp_path, n_critics=2)
         state, logger = train(cfg)

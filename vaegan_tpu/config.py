@@ -152,6 +152,17 @@ class ParallelConfig(_Replaceable):
 class TrainConfig(_Replaceable):
     n_epochs: int = 3
     n_critics: int = 1                 # G updated every n_critics steps (README.md:812)
+    # gradient accumulation: split each global batch into this many microbatches
+    # scanned sequentially (lax.scan) with ONE optimizer update per step —
+    # emulates large global batches on one chip (SURVEY.md §2.3). Equivalent to
+    # the full-batch step up to per-microbatch BN statistics and spectral-norm
+    # power-iteration cadence (see make_accum_train_step). Two-optimizer scheme only.
+    grad_accum: int = 1
+    # hard step budget: stop after this many optimizer steps regardless of
+    # n_epochs (None = unbounded). Bounds e.g. hyperparameter-search trials —
+    # the reference's search ran full multi-epoch experiments per trial
+    # (README.md:1177-1198)
+    max_steps: Optional[int] = None
     sample_interval: int = 20          # image-grid dump cadence (README.md:853)
     sample_dir: str = "gan_inference"
     log_every: int = 1                 # metric host-flush cadence (steps)
@@ -159,6 +170,11 @@ class TrainConfig(_Replaceable):
     checkpoint_every: int = 500
     seed: int = 0
     dtype: str = "float32"             # compute dtype: "float32" | "bfloat16"
+    # PRNG implementation for the training key stream ("rbg" | "threefry2x32").
+    # rbg is the TPU-friendly counter RNG: ~15% faster generator forward at 96x96
+    # (dropout/reparam mask generation off the critical path); this default is
+    # exactly what bench.py measures, so the headline number is the shipped loop.
+    rng_impl: str = "rbg"
     # fused Pallas kernels: "off" | "losses" (reparam+KL, recon sums) | "all"
     # (also fuse the res-block BN+act+dropout chains). bool accepted: True="all".
     use_pallas: Any = "losses"

@@ -134,8 +134,11 @@ class CachedDataset:
                 self._populate(dataset, n)
                 self._mm.flush()
                 del self._mm
-                os.replace(tmp, cache_path)
+                # meta BEFORE the rename publishes the cache: a crash in between
+                # leaves meta-without-cache (harmlessly rebuilt next run), never a
+                # published cache whose provenance can't be checked
                 self._write_meta(cache_path)
+                os.replace(tmp, cache_path)
                 self._mm = np.load(str(cache_path), mmap_mode="r")
 
     def _populate(self, dataset, n, bs: int = 64):
@@ -166,8 +169,15 @@ class CachedDataset:
 
     def _check_meta(self, cache_path):
         fp = self._fingerprint()
+        if fp is None:  # dataset carries no provenance (e.g. synthetic)
+            return
         meta = self._meta_path(cache_path)
-        if fp is not None and meta.exists() and meta.read_text() != fp:
+        if not meta.exists():
+            raise ValueError(
+                f"cache {cache_path} has no fingerprint sidecar ({meta.name}) — "
+                "it cannot be verified against the source files; delete the "
+                "cache to rebuild")
+        if meta.read_text() != fp:
             raise ValueError(
                 f"cache {cache_path} was built from different source files "
                 "(fingerprint mismatch) — delete it to rebuild")
@@ -190,12 +200,30 @@ class DataLoader:
     """
 
     def __init__(self, dataset, batch_size: int = 4, shuffle: bool = True,
-                 drop_last: bool = False, seed: int = 0, prefetch_batches: int = 2):
+                 drop_last: bool = False, seed: int = 0, prefetch_batches: int = 2,
+                 process_index: int = 0, process_count: int = 1):
+        """``batch_size`` is always the GLOBAL batch size. In a multi-process
+        (multi-host) run, pass ``process_index``/``process_count``: every process
+        computes the identical global shuffle (same ``seed`` — required) and each
+        yields only its own ``batch_size/process_count`` contiguous shard of every
+        batch, so ``jax.make_array_from_process_local_data`` assembles exactly the
+        configured global batch with no sample duplicated across hosts. Partial
+        final batches are dropped in multi-process mode (they cannot be split
+        evenly)."""
+        if process_count > 1 and batch_size % process_count != 0:
+            raise ValueError(
+                f"global batch_size {batch_size} is not divisible by "
+                f"process_count {process_count}")
+        if not (0 <= process_index < process_count):
+            raise ValueError(f"process_index {process_index} out of range for "
+                             f"process_count {process_count}")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
-        self.drop_last = drop_last
+        self.drop_last = drop_last or process_count > 1
         self.prefetch_batches = prefetch_batches
+        self.process_index = process_index
+        self.process_count = process_count
         self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
@@ -225,6 +253,12 @@ class DataLoader:
         stops = range(0, n - self.batch_size + 1, self.batch_size) if self.drop_last \
             else range(0, n, self.batch_size)
         slices = [idx[s: s + self.batch_size] for s in stops][start:]
+        if self.process_count > 1:
+            # identical global shuffle on every process (same seed), each process
+            # decodes only its contiguous shard of every (full) global batch
+            per = self.batch_size // self.process_count
+            lo = self.process_index * per
+            slices = [sl[lo: lo + per] for sl in slices]
         if self.prefetch_batches <= 0:
             for sl in slices:
                 yield self.dataset.load_batch(sl)
@@ -290,8 +324,17 @@ def device_prefetch(iterator: Iterator[np.ndarray], sharding=None,
     for host_batch in iterator:
         if multi_host:
             # each process contributes its addressable shard of the global batch;
-            # plain device_put cannot target non-addressable devices
-            buf.append(jax.make_array_from_process_local_data(sharding, host_batch))
+            # plain device_put cannot target non-addressable devices. The loader
+            # must be process-sharded (DataLoader(process_index=, process_count=))
+            # so each host holds a DISTINCT global_batch/process_count slice.
+            arr = jax.make_array_from_process_local_data(sharding, host_batch)
+            if arr.shape[0] != host_batch.shape[0] * jax.process_count():
+                raise ValueError(
+                    f"multi-host feed: local batch {host_batch.shape[0]} x "
+                    f"{jax.process_count()} processes != assembled global batch "
+                    f"{arr.shape[0]} — the loader is not process-sharded (pass "
+                    "process_index/process_count to DataLoader/make_loader)")
+            buf.append(arr)
         else:
             buf.append(jax.device_put(host_batch, sharding))
         if len(buf) > depth:
@@ -312,7 +355,17 @@ def make_dataset(cfg: DataConfig):
     return ds
 
 
-def make_loader(cfg: DataConfig, seed: int = 0) -> DataLoader:
+def make_loader(cfg: DataConfig, seed: int = 0,
+                process_index: int = None, process_count: int = None) -> DataLoader:
+    """Build the configured loader. In a multi-process run the loader is
+    automatically sharded by ``jax.process_index()/process_count()`` (pass
+    explicit values to override, e.g. in tests) — each host decodes a distinct
+    ``batch_size/process_count`` shard of every global batch."""
+    if process_count is None:
+        process_count = jax.process_count()
+    if process_index is None:
+        process_index = jax.process_index() if process_count > 1 else 0
     return DataLoader(make_dataset(cfg), batch_size=cfg.batch_size,
                       shuffle=cfg.shuffle, drop_last=cfg.drop_last, seed=seed,
-                      prefetch_batches=cfg.prefetch)
+                      prefetch_batches=cfg.prefetch,
+                      process_index=process_index, process_count=process_count)

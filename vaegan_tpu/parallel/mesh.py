@@ -95,8 +95,27 @@ def state_shardings(state: TrainState, mesh: Mesh, model_axis: str = "model") ->
 
 def shard_state(state: TrainState, mesh: Mesh) -> TrainState:
     """Place the state per ``state_shardings`` (replicated, or TP for the critic
-    head when the mesh has a model axis)."""
-    return jax.device_put(state, state_shardings(state, mesh))
+    head when the mesh has a model axis).
+
+    In a multi-process run (mesh spanning hosts over DCN) ``jax.device_put``
+    cannot target non-addressable devices; every process holds the identical
+    full state (deterministic init from the same seed), so each leaf is
+    assembled into a global array from the process-local copy. Multi-process
+    placement supports fully-replicated state only (DP across hosts; TP of the
+    critic head stays intra-host)."""
+    shardings = state_shardings(state, mesh)
+    if jax.process_count() > 1:
+        import numpy as np_
+
+        def to_global(leaf, sh):
+            if sh.spec != P():
+                raise NotImplementedError(
+                    "multi-host shard_state supports replicated leaves only; "
+                    f"got spec {sh.spec}")
+            return jax.make_array_from_process_local_data(sh, np_.asarray(leaf))
+
+        return jax.tree.map(to_global, state, shardings)
+    return jax.device_put(state, shardings)
 
 
 def replicate_state(state: TrainState, mesh: Mesh) -> TrainState:

@@ -20,7 +20,7 @@ import json
 import os
 import uuid
 from pathlib import Path
-from typing import Any, Dict, List
+from typing import Any, Dict, List, Optional
 
 import numpy as np
 
@@ -113,8 +113,14 @@ def params_to_config(base: Config, params: Dict[str, Any]) -> Config:
 
 
 def random_search(base: Config, n_trials: int, results_path="result/params.json",
-                  archive_dir="result/archive", seed: int = 0) -> List[Dict[str, Any]]:
-    """Run ``n_trials`` random configurations; returns the registry entries added."""
+                  archive_dir="result/archive", seed: int = 0,
+                  max_steps_per_trial: Optional[int] = 200) -> List[Dict[str, Any]]:
+    """Run ``n_trials`` random configurations; returns the registry entries added.
+
+    ``max_steps_per_trial`` caps each trial's optimizer steps (via
+    ``TrainConfig.max_steps``) so one expensive configuration cannot consume the
+    whole search budget — the reference's search ran a full multi-epoch
+    ``experiment()`` per trial (README.md:1177-1198). ``None`` = uncapped."""
     import jax
 
     from vaegan_tpu import inference
@@ -132,6 +138,11 @@ def random_search(base: Config, n_trials: int, results_path="result/params.json"
         entry: Dict[str, Any] = {"id": run_id, "params": params}
         try:
             cfg = params_to_config(base, params)
+            if max_steps_per_trial is not None:
+                cfg = cfg.replace(train=cfg.train.replace(
+                    max_steps=max_steps_per_trial
+                    if cfg.train.max_steps is None
+                    else min(cfg.train.max_steps, max_steps_per_trial)))
             state, logger = train(cfg)
             loader = make_loader(cfg.data, seed=cfg.train.seed)
             mse = inference.evaluate_mse(cfg, state, iter(loader))

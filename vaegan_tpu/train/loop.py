@@ -46,9 +46,16 @@ def make_sampler(cfg: Config) -> Callable:
 
     gen, _ = build_models(cfg)
     n_keys = PAPER_RNG_KEYS if cfg.optim.scheme == "three" else TWO_OPT_RNG_KEYS
+    accum = cfg.optim.scheme != "three" and cfg.train.grad_accum > 1
 
     @jax.jit
     def sample(state: TrainState, batch, key):
+        if accum:
+            # the accumulating step derives per-microbatch keys first; regenerate
+            # microbatch 0's images (grid diagnostics only)
+            k = cfg.train.grad_accum
+            key = jax.random.split(key, k)[0]
+            batch = batch[: batch.shape[0] // k]
         k_gdrop, k_gnoise = jax.random.split(key, n_keys)[:2]
         out = gen.apply(
             {"params": state.g_params, "batch_stats": state.g_stats},
@@ -78,7 +85,7 @@ def train(
     reference lacks entirely (SURVEY.md §5).
     """
     tcfg = cfg.train
-    key = jax.random.key(tcfg.seed)
+    key = jax.random.key(tcfg.seed, impl=tcfg.rng_impl)
     if loader is None:
         loader = make_loader(cfg.data, seed=tcfg.seed)
     if state is None:
@@ -114,8 +121,11 @@ def train(
     n_batches = len(loader) if hasattr(loader, "__len__") else -1
     global_step = 0
     nan_checked = 0
+    budget_hit = False
     t0 = time.time()
     for epoch in range(tcfg.n_epochs):
+        if budget_hit:
+            break
         # resume fast-forward without decoding: skip whole completed epochs by
         # replaying only the shuffle RNG, and open partial epochs at the right
         # batch offset (loaders without these hooks fall back to decode-and-skip)
@@ -169,6 +179,9 @@ def train(
             if ckpt is not None and (global_step + 1) % tcfg.checkpoint_every == 0:
                 ckpt.save(state)
             global_step += 1
+            if tcfg.max_steps is not None and global_step >= tcfg.max_steps:
+                budget_hit = True
+                break
 
     logger.flush()
     if ckpt is not None:

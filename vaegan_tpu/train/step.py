@@ -56,6 +56,122 @@ def _clip_params(params, clip):
     return jax.tree.map(lambda p: jnp.clip(p, -clip, clip), params)
 
 
+def _gen_forward_fn(cfg, gen):
+    """Generator train-mode forward returning ((recon, mu, log_var), new_stats);
+    non-VAE configs get zero mu/log_var so the KL is identically 0
+    (README.md:643-653)."""
+
+    def gen_forward(g_params, g_stats, batch, rngs, eps):
+        out, mut = gen.apply(
+            {"params": g_params, "batch_stats": g_stats},
+            batch, train=True, rngs=rngs, mutable=["batch_stats"], eps=eps)
+        if cfg.generator.is_vae:
+            r, m, lv = out
+        else:
+            r = out
+            m = lv = jnp.zeros((r.shape[0], 1), r.dtype)
+        return (r, m, lv), mut["batch_stats"]
+
+    return gen_forward
+
+
+def _critic_loss(cfg, disc, d_params, d_stats, d_spec, batch, gen_imgs_sg,
+                 keys, alpha_inject):
+    """D-half loss body (README.md:792-798): critic on real, on detached fakes,
+    gradient penalty on the interpolates; every forward threads BN stats +
+    spectral u/v like torch train-mode forwards.
+
+    ``keys`` = (k_real, k_fake, k_interp, k_alpha)."""
+    lcfg = cfg.loss
+    use_gp = lcfg.adversarial == "wgan" and lcfg.lambda_gp > 0.0
+    k_dreal, k_dfake, k_dinterp, k_alpha = keys
+    dstate = {"batch_stats": d_stats, "spectral": d_spec}
+
+    def d_apply(x, st, k):
+        logits, mut = disc.apply(
+            {"params": d_params, **st}, x, train=True,
+            rngs={"dropout": k}, mutable=["batch_stats", "spectral"])
+        return logits, {"batch_stats": mut["batch_stats"], "spectral": mut["spectral"]}
+
+    if cfg.train.critic_batching == "concat":
+        b = batch.shape[0]
+        both, st = d_apply(
+            jnp.concatenate([batch, gen_imgs_sg.astype(batch.dtype)], axis=0),
+            dstate, k_dreal)
+        real_logits, fake_logits = both[:b], both[b:]
+    else:
+        real_logits, st = d_apply(batch, dstate, k_dreal)
+        fake_logits, st = d_apply(gen_imgs_sg, st, k_dfake)
+
+    if lcfg.adversarial == "bce":
+        real_loss = losses.bce_with_logits(real_logits, 1.0)
+        fake_loss = losses.bce_with_logits(fake_logits, 0.0)
+    else:  # wgan (also covers "none": D still trains, unused by G — README.md:1283)
+        real_loss, fake_loss = losses.wgan_critic_loss(real_logits, fake_logits)
+
+    if use_gp:
+        gp, st = losses.gradient_penalty(
+            lambda x, st=st: d_apply(x, st, k_dinterp),
+            batch, gen_imgs_sg, k_alpha, alpha=alpha_inject)
+    else:
+        gp = jnp.zeros((), jnp.float32)
+    d_loss = real_loss + fake_loss + lcfg.lambda_gp * gp
+    return d_loss, (st, real_loss, fake_loss, gp)
+
+
+def _gen_losses(cfg, disc, d_params, d_stats, d_spec, batch, g_imgs, mu2, lv2,
+                k_dgen, k_dfeat, kl_scale=1.0):
+    """G-half loss body (README.md:812-831). The reference executes
+    discriminator(gen_imgs) even at adversarial weight 0 (its plain-VAE run,
+    README.md:816 + 1283) — the forward still advances critic BN stats and
+    spectral u/v; only our own adversarial="none" mode skips it (documented
+    deviation). ``kl_scale`` rescales the KL term so gradient accumulation's
+    mean-over-microbatches reproduces the full-batch sum-reduced KL."""
+    lcfg = cfg.loss
+    _pallas_losses = pallas_mode(cfg.train.use_pallas) in ("losses", "all")
+    want_feats = lcfg.reconstruction == "dis_l"
+    no_adv = lcfg.adversarial == "none"
+    if no_adv and not want_feats:
+        adv = jnp.zeros((), jnp.float32)
+        d_mut2 = {"batch_stats": d_stats, "spectral": d_spec}
+    else:
+        out, mut = disc.apply(
+            {"params": d_params, "batch_stats": d_stats, "spectral": d_spec},
+            g_imgs, train=True, rngs={"dropout": k_dgen},
+            mutable=["batch_stats", "spectral"],
+            return_features=want_feats)
+        logits, feats = out if want_feats else (out, None)
+        d_mut2 = {"batch_stats": mut["batch_stats"], "spectral": mut["spectral"]}
+        if no_adv:
+            adv = jnp.zeros((), jnp.float32)
+        elif lcfg.adversarial == "bce":
+            adv = losses.bce_with_logits(logits, 1.0)
+        else:
+            adv = losses.wgan_generator_loss(logits)
+    if want_feats:
+        (_, real_feats), mut_r = disc.apply(
+            {"params": d_params, **d_mut2}, batch, train=True,
+            rngs={"dropout": k_dfeat}, mutable=["batch_stats", "spectral"],
+            return_features=True)
+        # thread this train-mode forward's BN/spectral updates like every other
+        # critic forward in the step
+        d_mut2 = {"batch_stats": mut_r["batch_stats"],
+                  "spectral": mut_r["spectral"]}
+        recon = losses.feature_matching_loss(
+            jax.lax.stop_gradient(real_feats), feats)
+    elif _pallas_losses:
+        from vaegan_tpu.ops.pallas_fused import recon_loss_sums
+        sums = recon_loss_sums(g_imgs, batch)
+        recon = (sums[0] + sums[1]) / g_imgs.size
+    else:
+        recon = losses.pixel_reconstruction_loss(g_imgs, batch)
+    kl = losses.kl_divergence(mu2, lv2, lcfg.kl_reduction)
+    g_loss = (lcfg.adversarial_weight * adv
+              + lcfg.reconstruction_weight * recon
+              + lcfg.kl_weight * kl_scale * kl)
+    return g_loss, (d_mut2, adv, recon, kl)
+
+
 def make_train_step(cfg: Config, do_g_update: bool, axis_name=None,
                     inject: Dict[str, jax.Array] = None) -> Callable:
     """Two-optimizer step (the notebook's scheme). Returns
@@ -67,13 +183,14 @@ def make_train_step(cfg: Config, do_g_update: bool, axis_name=None,
     GP mixing factors}`` — used to replay the reference's torch/numpy draws so one
     step is comparable number-for-number (tests/test_reference_parity.py).
     """
+    if cfg.train.grad_accum > 1:
+        return make_accum_train_step(cfg, do_g_update, axis_name, inject)
     inject = inject or {}
     gen, disc = build_models(cfg, axis_name)
     tx_g = build_optimizer(cfg.optim)
     tx_d = build_optimizer(cfg.optim)
     lcfg = cfg.loss
-    use_gp = lcfg.adversarial == "wgan" and lcfg.lambda_gp > 0.0
-    _pallas_losses = pallas_mode(cfg.train.use_pallas) in ("losses", "all")
+    gen_forward = _gen_forward_fn(cfg, gen)
 
     def step(state: TrainState, batch: jax.Array, key: jax.Array) -> Tuple[TrainState, Metrics]:
         if axis_name is not None:
@@ -89,61 +206,23 @@ def make_train_step(cfg: Config, do_g_update: bool, axis_name=None,
         # Captured through jax.vjp so the G half can pull gradients back through
         # this same forward without recomputing it (the reference reuses the same
         # tensor with its autograd graph intact; this is the JAX equivalent).
-        def gen_forward(g_params):
-            out, mut = gen.apply(
-                {"params": g_params, "batch_stats": state.g_stats},
-                batch, train=True, rngs=g_rngs, mutable=["batch_stats"],
-                eps=inject.get("eps"))
-            if cfg.generator.is_vae:
-                r, m, lv = out
-            else:
-                # plain autoencoder (reference is_vae=False, README.md:643-653):
-                # no code distribution — zero mu/log_var make the KL identically 0
-                r = out
-                m = lv = jnp.zeros((r.shape[0], 1), r.dtype)
-            return (r, m, lv), mut["batch_stats"]
+        def fwd(g_params):
+            return gen_forward(g_params, state.g_stats, batch, g_rngs,
+                               inject.get("eps"))
 
         if do_g_update:
             (gen_imgs, mu, log_var), gen_vjp, new_g_stats = jax.vjp(
-                gen_forward, state.g_params, has_aux=True)
+                fwd, state.g_params, has_aux=True)
         else:
-            (gen_imgs, mu, log_var), new_g_stats = gen_forward(state.g_params)
+            (gen_imgs, mu, log_var), new_g_stats = fwd(state.g_params)
         gen_imgs_sg = jax.lax.stop_gradient(gen_imgs)
 
         # ---- discriminator half ---------------------------------------------
         def d_loss_fn(d_params):
-            dstate = {"batch_stats": state.d_stats, "spectral": state.d_spectral}
-
-            def d_apply(x, st, k):
-                logits, mut = disc.apply(
-                    {"params": d_params, **st}, x, train=True,
-                    rngs={"dropout": k}, mutable=["batch_stats", "spectral"])
-                return logits, {"batch_stats": mut["batch_stats"], "spectral": mut["spectral"]}
-
-            if cfg.train.critic_batching == "concat":
-                b = batch.shape[0]
-                both, st = d_apply(
-                    jnp.concatenate([batch, gen_imgs_sg.astype(batch.dtype)], axis=0),
-                    dstate, k_dreal)
-                real_logits, fake_logits = both[:b], both[b:]
-            else:
-                real_logits, st = d_apply(batch, dstate, k_dreal)
-                fake_logits, st = d_apply(gen_imgs_sg, st, k_dfake)
-
-            if lcfg.adversarial == "bce":
-                real_loss = losses.bce_with_logits(real_logits, 1.0)
-                fake_loss = losses.bce_with_logits(fake_logits, 0.0)
-            else:  # wgan (also covers "none": D still trains, unused by G — README.md:1283)
-                real_loss, fake_loss = losses.wgan_critic_loss(real_logits, fake_logits)
-
-            if use_gp:
-                gp, st = losses.gradient_penalty(
-                    lambda x, st=st: d_apply(x, st, k_dinterp),
-                    batch, gen_imgs_sg, k_alpha, alpha=inject.get("alpha"))
-            else:
-                gp = jnp.zeros((), jnp.float32)
-            d_loss = real_loss + fake_loss + lcfg.lambda_gp * gp
-            return d_loss, (st, real_loss, fake_loss, gp)
+            return _critic_loss(
+                cfg, disc, d_params, state.d_stats, state.d_spectral, batch,
+                gen_imgs_sg, (k_dreal, k_dfake, k_dinterp, k_alpha),
+                inject.get("alpha"))
 
         (d_loss, (d_st, real_loss, fake_loss, gp)), d_grads = jax.value_and_grad(
             d_loss_fn, has_aux=True)(state.d_params)
@@ -164,48 +243,9 @@ def make_train_step(cfg: Config, do_g_update: bool, axis_name=None,
                 # then pulled back through the stored gen_vjp — one generator
                 # forward per step total
                 g_imgs, mu2, lv2 = gen_outputs
-                want_feats = lcfg.reconstruction == "dis_l"
-                no_adv = lcfg.adversarial == "none" or lcfg.adversarial_weight == 0.0
-                if no_adv and not want_feats:
-                    adv = jnp.zeros((), jnp.float32)
-                    d_mut2 = {"batch_stats": new_d_stats, "spectral": new_d_spectral}
-                else:
-                    out, mut = disc.apply(
-                        {"params": new_d_params, "batch_stats": new_d_stats,
-                         "spectral": new_d_spectral},
-                        g_imgs, train=True, rngs={"dropout": k_dgen},
-                        mutable=["batch_stats", "spectral"],
-                        return_features=want_feats)
-                    logits, feats = out if want_feats else (out, None)
-                    d_mut2 = {"batch_stats": mut["batch_stats"], "spectral": mut["spectral"]}
-                    if no_adv:
-                        adv = jnp.zeros((), jnp.float32)
-                    elif lcfg.adversarial == "bce":
-                        adv = losses.bce_with_logits(logits, 1.0)
-                    else:
-                        adv = losses.wgan_generator_loss(logits)
-                if want_feats:
-                    (_, real_feats), mut_r = disc.apply(
-                        {"params": new_d_params, **d_mut2}, batch, train=True,
-                        rngs={"dropout": k_dfeat}, mutable=["batch_stats", "spectral"],
-                        return_features=True)
-                    # thread this train-mode forward's BN/spectral updates like
-                    # every other critic forward in the step
-                    d_mut2 = {"batch_stats": mut_r["batch_stats"],
-                              "spectral": mut_r["spectral"]}
-                    recon = losses.feature_matching_loss(
-                        jax.lax.stop_gradient(real_feats), feats)
-                elif _pallas_losses:
-                    from vaegan_tpu.ops.pallas_fused import recon_loss_sums
-                    sums = recon_loss_sums(g_imgs, batch)
-                    recon = (sums[0] + sums[1]) / g_imgs.size
-                else:
-                    recon = losses.pixel_reconstruction_loss(g_imgs, batch)
-                kl = losses.kl_divergence(mu2, lv2, lcfg.kl_reduction)
-                g_loss = (lcfg.adversarial_weight * adv
-                          + lcfg.reconstruction_weight * recon
-                          + lcfg.kl_weight * kl)
-                return g_loss, (d_mut2, adv, recon, kl)
+                return _gen_losses(
+                    cfg, disc, new_d_params, new_d_stats, new_d_spectral, batch,
+                    g_imgs, mu2, lv2, k_dgen, k_dfeat)
 
             (g_loss, (d_mut2, adv, recon, kl)), out_cts = jax.value_and_grad(
                 g_loss_fn, has_aux=True)((gen_imgs, mu, log_var))
@@ -232,7 +272,160 @@ def make_train_step(cfg: Config, do_g_update: bool, axis_name=None,
     return step
 
 
-def make_paper_train_step(cfg: Config, axis_name=None) -> Callable:
+def make_accum_train_step(cfg: Config, do_g_update: bool, axis_name=None,
+                          inject: Dict[str, jax.Array] = None) -> Callable:
+    """Gradient-accumulation variant of the two-optimizer step (SURVEY.md §2.3:
+    "trivial under ``jax.lax.scan``" — the reference has no such capability).
+
+    The global batch is split into ``cfg.train.grad_accum`` microbatches and
+    scanned twice:
+
+    - pass 1 accumulates critic gradients (critic params FIXED at their pre-step
+      values across all microbatches, exactly like ``loss.backward()`` accumulation
+      in torch), threading BN stats + spectral u/v through the microbatch forwards;
+      then ONE optimizer update + clamp;
+    - pass 2 recomputes each microbatch's generator forward bitwise-identically
+      (same per-microbatch rng keys; train-mode BN normalizes by batch statistics,
+      so the recompute does not depend on the threaded running stats) and
+      accumulates generator gradients against the UPDATED critic (the reference's
+      event order, README.md:812-816); then ONE generator update.
+
+    Equivalence contract: with the same total batch, the accumulated gradients
+    equal the full-batch step's up to (a) BN batch statistics computed per
+    microbatch instead of per full batch, and (b) one spectral power iteration per
+    microbatch forward instead of per full-batch forward. Mean-reduced loss terms
+    accumulate by averaging; the reference's batch-SUMMED KL (README.md:822-825)
+    is rescaled by ``grad_accum`` inside the microbatch loss so the average
+    reproduces the full-batch sum. Cost: one extra generator forward per
+    microbatch (the full-batch step's vjp-reuse trick cannot cross a scan carry).
+    """
+    inject = inject or {}
+    k = int(cfg.train.grad_accum)
+    gen, disc = build_models(cfg, axis_name)
+    tx_g = build_optimizer(cfg.optim)
+    tx_d = build_optimizer(cfg.optim)
+    lcfg = cfg.loss
+    gen_forward = _gen_forward_fn(cfg, gen)
+    kl_scale = float(k) if lcfg.kl_reduction == "sum" else 1.0
+
+    def step(state: TrainState, batch: jax.Array, key: jax.Array) -> Tuple[TrainState, Metrics]:
+        if axis_name is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+        B = batch.shape[0]
+        if B % k:
+            raise ValueError(f"batch size {B} not divisible by grad_accum {k}")
+        m = B // k
+        xs = {"batch": batch.reshape(k, m, *batch.shape[1:]),
+              "key": jax.random.split(key, k)}
+        if "eps" in inject:
+            e = inject["eps"]
+            xs["eps"] = e.reshape(k, m, *e.shape[1:])
+        if "alpha" in inject:
+            a = inject["alpha"]
+            xs["alpha"] = a.reshape(k, m, *a.shape[1:])
+
+        zeros_d = jax.tree.map(jnp.zeros_like, state.d_params)
+        zero = jnp.zeros((), jnp.float32)
+
+        # ---- pass 1: critic gradients accumulated over microbatches ----------
+        def d_micro(carry, x):
+            g_stats, d_stats, d_spec, gsum, msum = carry
+            ks = jax.random.split(x["key"], TWO_OPT_RNG_KEYS)
+            (gen_imgs, _, _), g_stats = gen_forward(
+                state.g_params, g_stats, x["batch"],
+                {"dropout": ks[0], "noise": ks[1]}, x.get("eps"))
+            gen_sg = jax.lax.stop_gradient(gen_imgs)
+
+            def d_loss_fn(d_params):
+                return _critic_loss(cfg, disc, d_params, d_stats, d_spec,
+                                    x["batch"], gen_sg, (ks[2], ks[3], ks[4], ks[5]),
+                                    x.get("alpha"))
+
+            (d_loss, (st, rl, fl, gp)), grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True)(state.d_params)
+            gsum = jax.tree.map(jnp.add, gsum, grads)
+            msum = {"d_loss": msum["d_loss"] + d_loss,
+                    "d_real_loss": msum["d_real_loss"] + rl,
+                    "d_fake_loss": msum["d_fake_loss"] + fl,
+                    "gp": msum["gp"] + gp}
+            return (g_stats, st["batch_stats"], st["spectral"], gsum, msum), None
+
+        init = (state.g_stats, state.d_stats, state.d_spectral, zeros_d,
+                {"d_loss": zero, "d_real_loss": zero, "d_fake_loss": zero, "gp": zero})
+        (new_g_stats, d_stats1, d_spec1, d_gsum, d_msum), _ = jax.lax.scan(
+            d_micro, init, xs)
+        d_grads = jax.tree.map(lambda g: g / k, d_gsum)
+        if axis_name is not None:
+            d_grads = jax.lax.pmean(d_grads, axis_name)
+        d_updates, new_opt_d = tx_d.update(d_grads, state.opt_d, state.d_params)
+        new_d_params = optax.apply_updates(state.d_params, d_updates)
+        if lcfg.clip_value is not None:
+            new_d_params = _clip_params(new_d_params, lcfg.clip_value)  # README.md:805
+
+        d_metrics = {kk: v / k for kk, v in d_msum.items()}
+        new_d_stats, new_d_spectral = d_stats1, d_spec1
+        new_g_params, new_opt_g, g_metrics = state.g_params, state.opt_g, state.g_metrics
+
+        # ---- pass 2: generator gradients against the updated critic ----------
+        if do_g_update:
+            zeros_g = jax.tree.map(jnp.zeros_like, state.g_params)
+
+            def g_micro(carry, x):
+                d_stats, d_spec, gsum, msum = carry
+                ks = jax.random.split(x["key"], TWO_OPT_RNG_KEYS)
+
+                def g_loss_fn(g_params):
+                    # recompute (bitwise-identical: same keys; train-mode BN output
+                    # does not depend on the running-stat collection)
+                    (g_imgs, mu2, lv2), _ = gen_forward(
+                        g_params, state.g_stats, x["batch"],
+                        {"dropout": ks[0], "noise": ks[1]}, x.get("eps"))
+                    return _gen_losses(cfg, disc, new_d_params, d_stats, d_spec,
+                                       x["batch"], g_imgs, mu2, lv2, ks[6], ks[7],
+                                       kl_scale=kl_scale)
+
+                (gl, (d_mut2, adv, recon, kl)), grads = jax.value_and_grad(
+                    g_loss_fn, has_aux=True)(state.g_params)
+                gsum = jax.tree.map(jnp.add, gsum, grads)
+                msum = {"adv_loss": msum["adv_loss"] + adv,
+                        "recon_loss": msum["recon_loss"] + recon,
+                        "kl": msum["kl"] + kl}
+                return (d_mut2["batch_stats"], d_mut2["spectral"], gsum, msum), None
+
+            ginit = (new_d_stats, new_d_spectral, zeros_g,
+                     {"adv_loss": zero, "recon_loss": zero, "kl": zero})
+            (new_d_stats, new_d_spectral, g_gsum, g_msum), _ = jax.lax.scan(
+                g_micro, ginit, xs)
+            g_grads = jax.tree.map(lambda g: g / k, g_gsum)
+            if axis_name is not None:
+                g_grads = jax.lax.pmean(g_grads, axis_name)
+            g_updates, new_opt_g = tx_g.update(g_grads, state.opt_g, state.g_params)
+            new_g_params = optax.apply_updates(state.g_params, g_updates)
+            adv = g_msum["adv_loss"] / k
+            recon = g_msum["recon_loss"] / k
+            # sum-reduced KL: the full-batch value is the SUM over microbatches
+            kl = g_msum["kl"] if lcfg.kl_reduction == "sum" else g_msum["kl"] / k
+            g_metrics = {
+                "g_loss": (lcfg.adversarial_weight * adv
+                           + lcfg.reconstruction_weight * recon
+                           + lcfg.kl_weight * kl),
+                "adv_loss": adv, "recon_loss": recon, "kl": kl,
+            }
+
+        metrics = {**d_metrics, **g_metrics}
+        new_state = state.replace(
+            step=state.step + 1,
+            g_params=new_g_params, d_params=new_d_params,
+            g_stats=new_g_stats, d_stats=new_d_stats, d_spectral=new_d_spectral,
+            opt_g=new_opt_g, opt_d=new_opt_d, g_metrics=g_metrics,
+        )
+        return new_state, metrics
+
+    return step
+
+
+def make_paper_train_step(cfg: Config, axis_name=None,
+                          debug_grads: bool = False) -> Callable:
     """Larsen et al. Algorithm 1 (three optimizers, BASELINE config 3).
 
     L_prior  = KL(q(z|x) || N(0, I))                 (mean-per-sample reduction)
@@ -251,6 +444,10 @@ def make_paper_train_step(cfg: Config, axis_name=None) -> Callable:
         raise ValueError("the Larsen Algorithm-1 step requires a VAE code "
                          "distribution (generator.is_vae=True); use "
                          "make_train_step for plain-AE configurations")
+    if cfg.train.grad_accum > 1:
+        raise ValueError("grad_accum > 1 is implemented for the two-optimizer "
+                         "scheme only (make_accum_train_step); the three-optimizer "
+                         "paper step has no accumulation variant")
     gen, disc = build_models(cfg, axis_name)
     tx = build_optimizer(cfg.optim)
     lcfg, gamma = cfg.loss, cfg.optim.gamma
@@ -332,6 +529,30 @@ def make_paper_train_step(cfg: Config, axis_name=None) -> Callable:
         if axis_name is not None:
             enc_g, dec_g, dis_g = jax.lax.pmean((enc_g, dec_g, dis_g), axis_name)
 
+        debug = {}
+        if debug_grads:
+            # test-only: the honest three-backward decomposition of Algorithm 1,
+            # for golden-testing the stop-gradient/CSE trick above (each explicit
+            # grad differentiates the SAME forward fn with the same rng keys)
+            def enc_loss(e):
+                lp, ll, _, _ = forward(e, dec0, state.d_params)
+                return lcfg.kl_weight * lp + lcfg.reconstruction_weight * ll
+
+            def dec_loss(d):
+                _, ll, lg, _ = forward(enc0, d, state.d_params)
+                return (gamma * lcfg.reconstruction_weight * ll
+                        - lcfg.adversarial_weight * lg)
+
+            def dis_loss(p):
+                _, _, lg, _ = forward(enc0, dec0, p)
+                return lcfg.adversarial_weight * lg
+
+            debug["debug_grads"] = {
+                "combined": (enc_g, dec_g, dis_g),
+                "explicit": (jax.grad(enc_loss)(enc0), jax.grad(dec_loss)(dec0),
+                             jax.grad(dis_loss)(state.d_params)),
+            }
+
         new_g_stats, d_st, l_prior, l_llike, l_gan, bce_real, bce_fake = aux
         enc_up, opt_enc = tx.update(enc_g, state.opt_g["enc"], enc0)
         dec_up, opt_dec = tx.update(dec_g, state.opt_g["dec"], dec0)
@@ -348,7 +569,7 @@ def make_paper_train_step(cfg: Config, axis_name=None) -> Callable:
         g_metrics = {"g_loss": enc_l + dec_l, "adv_loss": l_gan,
                      "recon_loss": l_llike, "kl": l_prior}
         metrics = {"d_loss": dis_l, "d_real_loss": bce_real, "d_fake_loss": bce_fake,
-                   "gp": jnp.zeros((), jnp.float32), **g_metrics}
+                   "gp": jnp.zeros((), jnp.float32), **g_metrics, **debug}
         new_state = state.replace(
             step=state.step + 1,
             g_params=merge_g(new_enc, new_dec), d_params=new_d,
