@@ -26,6 +26,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 import jax
 import jax.numpy as jnp
 
+# persistent compile cache: the WGAN-GP double-backprop step costs minutes to
+# compile; repeat bench invocations hit the cache
+jax.config.update("jax_compilation_cache_dir",
+                  str(Path(__file__).resolve().parent / ".jax_cache_bench"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
 
 def bench_loader() -> None:
     """Host-pipeline headroom: CachedDataset -> DataLoader -> device_prefetch
@@ -78,6 +84,84 @@ def bench_loader() -> None:
     }))
 
 
+def bench_roofline() -> None:
+    """Measurement-backed roofline: the 856 img/s 'memory roofline' in
+    BENCH_NOTES assumed the chip's PAPER bandwidth (820 GB/s). Real kernels
+    never reach paper bandwidth; this mode measures (a) the chip's ACHIEVED
+    HBM bandwidth with a bandwidth-optimal elementwise triad (2 reads + 1
+    write per element, zero flops of substance), (b) the train step's XLA
+    cost-analysis bytes and measured time, and reports the step's implied
+    bandwidth as a fraction of the ACHIEVED ceiling."""
+    batch_size = int(os.environ.get("BENCH_BATCH", 128))
+    image = int(os.environ.get("BENCH_IMAGE", 96))
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+
+    from vaegan_tpu.config import preset
+    from vaegan_tpu.train import create_train_state, make_train_step
+
+    # (a) achieved HBM bandwidth: y <- a*y + b iterated ON DEVICE in one dispatch
+    # (per-call dispatch crosses the network tunnel here and would pollute the
+    # measurement), ~1 GiB working set per array
+    n = (256 * 2 ** 20)  # 256M f32 elements = 1 GiB per array
+    reps = 50
+
+    @jax.jit
+    def triad(y, b):
+        return jax.lax.fori_loop(0, reps, lambda i, y: 1.0001 * y + b, y)
+
+    y = jnp.ones((n,), jnp.float32)
+    b = jnp.full((n,), 2.0, jnp.float32)
+    y = triad(y, b)
+    float(jax.device_get(y[0]))  # compile + warm
+    t0 = time.perf_counter()
+    y = triad(y, b)
+    float(jax.device_get(y[0]))
+    dt = time.perf_counter() - t0
+    triad_bytes = 3 * 4 * n * reps  # 2 reads + 1 write per element per iteration
+    achieved_gbs = triad_bytes / dt / 1e9
+
+    # (b) the step: cost analysis + measured time
+    cfg = preset("notebook")
+    cfg = cfg.replace(
+        data=cfg.data.replace(image_size=image, batch_size=batch_size),
+        train=cfg.train.replace(dtype=dtype),
+    )
+    state = create_train_state(cfg, jax.random.key(0))
+    step = make_train_step(cfg, do_g_update=True)
+    batch = jax.random.uniform(jax.random.key(1), (batch_size, image, image, 1))
+    key = jax.random.key(2, impl=cfg.train.rng_impl)
+    lowered = jax.jit(step, donate_argnums=0).lower(state, batch, key)
+    compiled = lowered.compile()
+    ca = compiled.cost_analysis()
+    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+    flops = float(ca.get("flops", 0.0))
+    bytes_ = float(ca.get("bytes accessed", 0.0))
+
+    jstep = compiled  # reuse the lowered executable — do NOT compile twice
+    for i in range(3):
+        state, metrics = jstep(state, batch, jax.random.fold_in(key, i))
+    float(jax.device_get(metrics["d_loss"]))
+    n_steps = int(os.environ.get("BENCH_STEPS", 20))
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        state, metrics = jstep(state, batch, jax.random.fold_in(key, 100 + i))
+    float(jax.device_get(metrics["d_loss"]))
+    step_s = (time.perf_counter() - t0) / n_steps
+
+    implied_gbs = bytes_ / step_s / 1e9
+    print(json.dumps({
+        "metric": "roofline attribution (achieved-BW-normalized)",
+        "achieved_hbm_gbs_triad": round(achieved_gbs, 1),
+        "step_cost_flops_T": round(flops / 1e12, 2),
+        "step_cost_bytes_GB": round(bytes_ / 1e9, 2),
+        "step_ms": round(step_s * 1e3, 1),
+        "images_per_sec": round(batch_size / step_s, 1),
+        "step_implied_gbs": round(implied_gbs, 1),
+        "fraction_of_achieved_bw": round(implied_gbs / achieved_gbs, 3),
+        "memory_floor_ms_at_achieved_bw": round(bytes_ / achieved_gbs / 1e6, 1),
+    }))
+
+
 def main() -> None:
     batch_size = int(os.environ.get("BENCH_BATCH", 128))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
@@ -90,7 +174,10 @@ def main() -> None:
     cfg = preset("notebook")
     cfg = cfg.replace(
         data=cfg.data.replace(image_size=image, batch_size=batch_size),
-        train=cfg.train.replace(dtype=dtype),
+        train=cfg.train.replace(
+            dtype=dtype,
+            critic_batching=os.environ.get("BENCH_CRITIC_BATCHING", "separate"),
+        ),
     )
 
     state = create_train_state(cfg, jax.random.key(0))
@@ -126,5 +213,7 @@ def main() -> None:
 if __name__ == "__main__":
     if "--loader" in sys.argv:
         bench_loader()
+    elif "--roofline" in sys.argv:
+        bench_roofline()
     else:
         main()

@@ -267,6 +267,16 @@ class TestCriticBatching:
         for k, v in m.items():
             assert np.isfinite(float(v)), k
 
+    def test_concat3_folds_gp_into_one_apply(self):
+        cfg = tiny_config()
+        cfg = cfg.replace(train=cfg.train.replace(critic_batching="concat3"))
+        state = create_train_state(cfg, jax.random.key(0))
+        step = jax.jit(make_train_step(cfg, do_g_update=True))
+        state, m = step(state, batch_of(cfg, jax.random.key(1)), jax.random.key(2))
+        assert float(m["gp"]) > 0.0
+        for k, v in m.items():
+            assert np.isfinite(float(v)), k
+
 
 class TestPlainAutoencoderMode:
     def test_is_vae_false_trains(self):
