@@ -156,14 +156,15 @@ class TrainConfig(_Replaceable):
     # scanned sequentially (lax.scan) with ONE optimizer update per step —
     # emulates large global batches on one chip (SURVEY.md §2.3). Equivalent to
     # the full-batch step up to per-microbatch BN statistics and spectral-norm
-    # power-iteration cadence (see make_accum_train_step). Two-optimizer scheme only.
+    # power-iteration cadence (see make_accum_train_step / the paper-step
+    # accumulation variant).
     grad_accum: int = 1
     # hard step budget: stop after this many optimizer steps regardless of
     # n_epochs (None = unbounded). Bounds e.g. hyperparameter-search trials —
     # the reference's search ran full multi-epoch experiments per trial
     # (README.md:1177-1198)
     max_steps: Optional[int] = None
-    sample_interval: int = 20          # image-grid dump cadence (README.md:853)
+    sample_interval: int = 20          # image-grid dump cadence (README.md:853); <=0 disables
     sample_dir: str = "gan_inference"
     log_every: int = 1                 # metric host-flush cadence (steps)
     checkpoint_dir: Optional[str] = None

@@ -124,10 +124,12 @@ def replicate_state(state: TrainState, mesh: Mesh) -> TrainState:
 
 
 def make_parallel_train_step(cfg: Config, mesh: Mesh, do_g_update: bool = True,
-                             state_spec: Optional[TrainState] = None) -> Callable:
-    """pjit-compiled train step: batch sharded along the data axis, params/opt
-    state placed per ``state_shardings`` (replicated, plus TP of the critic head
-    over the model axis when present) and donated.
+                             state_spec: Optional[TrainState] = None,
+                             batch_spec: Optional[NamedSharding] = None) -> Callable:
+    """pjit-compiled train step: batch sharded along the data axis (pass
+    ``batch_spec`` to add spatial sharding), params/opt state placed per
+    ``state_shardings`` (replicated, plus TP of the critic head over the model
+    axis when present) and donated.
 
     XLA emits the ICI all-reduces for gradients and cross-replica batch-norm
     statistics from the sharding annotations alone.
@@ -137,7 +139,7 @@ def make_parallel_train_step(cfg: Config, mesh: Mesh, do_g_update: bool = True,
     else:
         step = make_train_step(cfg, do_g_update=do_g_update)
     rep = replicated(mesh)
-    bsh = batch_sharding(mesh, mesh.axis_names[0])
+    bsh = batch_spec if batch_spec is not None else batch_sharding(mesh, mesh.axis_names[0])
     if state_spec is None:
         # shardings need leaf structure; jit infers out_shardings from inputs when
         # we pass AUTO-like replicated specs — build from an abstract state

@@ -46,7 +46,7 @@ def make_sampler(cfg: Config) -> Callable:
 
     gen, _ = build_models(cfg)
     n_keys = PAPER_RNG_KEYS if cfg.optim.scheme == "three" else TWO_OPT_RNG_KEYS
-    accum = cfg.optim.scheme != "three" and cfg.train.grad_accum > 1
+    accum = cfg.train.grad_accum > 1
 
     @jax.jit
     def sample(state: TrainState, batch, key):
@@ -156,7 +156,8 @@ def train(
             # regenerate this step's gen_imgs BEFORE the step (the step donates
             # its input state buffers)
             sample_imgs = (sampler(state, batch, step_key)
-                           if batches_done % tcfg.sample_interval == 0 else None)
+                           if tcfg.sample_interval > 0
+                           and batches_done % tcfg.sample_interval == 0 else None)
             step = step_g if do_g else step_d
             state, metrics = step(state, batch, step_key)
             logger.log(epoch, tcfg.n_epochs, i, n_batches, metrics)
@@ -176,7 +177,8 @@ def train(
                 from vaegan_tpu.utils.imaging import save_image_grid
                 save_image_grid(jax.device_get(sample_imgs[:25]),
                                 str(sample_dir / f"{batches_done}.png"), nrow=5)
-            if ckpt is not None and (global_step + 1) % tcfg.checkpoint_every == 0:
+            if (ckpt is not None and tcfg.checkpoint_every > 0
+                    and (global_step + 1) % tcfg.checkpoint_every == 0):
                 ckpt.save(state)
             global_step += 1
             if tcfg.max_steps is not None and global_step >= tcfg.max_steps:

@@ -461,7 +461,8 @@ def make_accum_train_step(cfg: Config, do_g_update: bool, axis_name=None,
 
 
 def make_paper_train_step(cfg: Config, axis_name=None,
-                          debug_grads: bool = False) -> Callable:
+                          debug_grads: bool = False,
+                          inject: Dict[str, jax.Array] = None) -> Callable:
     """Larsen et al. Algorithm 1 (three optimizers, BASELINE config 3).
 
     L_prior  = KL(q(z|x) || N(0, I))                 (mean-per-sample reduction)
@@ -480,13 +481,15 @@ def make_paper_train_step(cfg: Config, axis_name=None,
         raise ValueError("the Larsen Algorithm-1 step requires a VAE code "
                          "distribution (generator.is_vae=True); use "
                          "make_train_step for plain-AE configurations")
-    if cfg.train.grad_accum > 1:
-        raise ValueError("grad_accum > 1 is implemented for the two-optimizer "
-                         "scheme only (make_accum_train_step); the three-optimizer "
-                         "paper step has no accumulation variant")
+    inject = inject or {}
     gen, disc = build_models(cfg, axis_name)
     tx = build_optimizer(cfg.optim)
     lcfg, gamma = cfg.loss, cfg.optim.gamma
+    k_accum = int(cfg.train.grad_accum)
+    if debug_grads and k_accum > 1:
+        raise ValueError("debug_grads is a k=1 test hook; combine it with "
+                         "grad_accum=1")
+    sg = jax.lax.stop_gradient
 
     def split_g(params):
         enc = {k: params[k] for k in ("encoder", "code_processor")}
@@ -496,20 +499,23 @@ def make_paper_train_step(cfg: Config, axis_name=None,
     def merge_g(enc, dec):
         return {**enc, **dec}
 
-    def step(state: TrainState, batch: jax.Array, key: jax.Array) -> Tuple[TrainState, Metrics]:
-        if axis_name is not None:
-            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
-        (k_gdrop, k_gnoise, k_prior, k_pdrop, k_dr, k_df, k_dp) = jax.random.split(
-            key, PAPER_RNG_KEYS)
+    def make_forward(batch, keys, g_stats0, d_stats0, d_spec0, z_p_inject=None,
+                     eps_inject=None):
+        """Algorithm-1 forward over one (micro)batch, parametrized by the BN/SN
+        state it threads from (the plain step passes the TrainState's; the
+        accumulation scan passes its carry). ``z_p_inject`` / ``eps_inject``
+        (test hooks) replace the prior-sample / reparameterization draws."""
+        (k_gdrop, k_gnoise, k_prior, k_pdrop, k_dr, k_df, k_dp) = keys
         g_rngs = {"dropout": k_gdrop, "noise": k_gnoise}
-        enc0, dec0 = split_g(state.g_params)
 
         def forward(enc_p, dec_p, d_p):
             g_params = merge_g(enc_p, dec_p)
             (x_tilde, mu, lv), g_mut = gen.apply(
-                {"params": g_params, "batch_stats": state.g_stats},
-                batch, train=True, rngs=g_rngs, mutable=["batch_stats"])
-            z_p = jax.random.normal(k_prior, mu.shape, mu.dtype)
+                {"params": g_params, "batch_stats": g_stats0},
+                batch, train=True, rngs=g_rngs, mutable=["batch_stats"],
+                eps=eps_inject)
+            z_p = (jax.random.normal(k_prior, mu.shape, mu.dtype)
+                   if z_p_inject is None else z_p_inject.astype(mu.dtype))
             # the prior-sample decode is a train-mode forward: thread its BN
             # stat updates after the x_tilde forward's (torch-parity cadence)
             # dedicated dropout key: Algorithm 1 treats x_tilde and x_p as
@@ -521,7 +527,7 @@ def make_paper_train_step(cfg: Config, axis_name=None,
                 method=gen.decode)
             g_stats_out = p_mut["batch_stats"]
 
-            dstate = {"batch_stats": state.d_stats, "spectral": state.d_spectral}
+            dstate = {"batch_stats": d_stats0, "spectral": d_spec0}
 
             def d_apply(x, st, k):
                 (logits, feats), mut = disc.apply(
@@ -542,23 +548,42 @@ def make_paper_train_step(cfg: Config, axis_name=None,
             aux = (g_stats_out, st, l_prior, l_llike, l_gan, bce_real, bce_fake)
             return l_prior, l_llike, l_gan, aux
 
-        # One combined scalar realizing all three per-group losses via stop-gradient
-        # placement: each forward call is primal-identical (same rng keys), so XLA
-        # CSEs them to a single forward; each term's backward only flows into its
-        # live (non-stop-gradient) parameter group. Exactly equivalent to three
-        # separate value_and_grads of the Algorithm-1 losses, at ~1/3 the forward
-        # cost.
-        sg = jax.lax.stop_gradient
+        return forward
 
+    def make_combined(forward, kl_scale=1.0):
+        # One combined scalar realizing all three per-group losses via
+        # stop-gradient placement: each forward call is primal-identical (same
+        # rng keys), so XLA CSEs them to a single forward; each term's backward
+        # only flows into its live (non-stop-gradient) parameter group. Exactly
+        # equivalent to three separate value_and_grads of the Algorithm-1
+        # losses, at ~1/3 the forward cost.
         def combined(enc_p, dec_p, d_p):
             l_prior_e, l_llike_e, _, aux = forward(enc_p, sg(dec_p), sg(d_p))
             _, l_llike_d, l_gan_d, _ = forward(sg(enc_p), dec_p, sg(d_p))
             _, _, l_gan_i, _ = forward(sg(enc_p), sg(dec_p), d_p)
-            enc_l = lcfg.kl_weight * l_prior_e + lcfg.reconstruction_weight * l_llike_e
+            enc_l = (lcfg.kl_weight * kl_scale * l_prior_e
+                     + lcfg.reconstruction_weight * l_llike_e)
             dec_l = (gamma * lcfg.reconstruction_weight * l_llike_d
                      - lcfg.adversarial_weight * l_gan_d)
             dis_l = lcfg.adversarial_weight * l_gan_i
             return enc_l + dec_l + dis_l, (aux, enc_l, dec_l, dis_l)
+
+        return combined
+
+    if k_accum > 1:
+        return _make_paper_accum_step(
+            cfg, axis_name, tx, lcfg, split_g, merge_g, make_forward,
+            make_combined, _clip_params, inject)
+
+    def step(state: TrainState, batch: jax.Array, key: jax.Array) -> Tuple[TrainState, Metrics]:
+        if axis_name is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+        keys = jax.random.split(key, PAPER_RNG_KEYS)
+        enc0, dec0 = split_g(state.g_params)
+        forward = make_forward(batch, keys, state.g_stats, state.d_stats,
+                               state.d_spectral, z_p_inject=inject.get("z_p"),
+                               eps_inject=inject.get("eps"))
+        combined = make_combined(forward)
 
         (_, (aux, enc_l, dec_l, dis_l)), (enc_g, dec_g, dis_g) = jax.value_and_grad(
             combined, argnums=(0, 1, 2), has_aux=True)(enc0, dec0, state.d_params)
@@ -611,6 +636,106 @@ def make_paper_train_step(cfg: Config, axis_name=None,
             g_params=merge_g(new_enc, new_dec), d_params=new_d,
             g_stats=new_g_stats,
             d_stats=d_st["batch_stats"], d_spectral=d_st["spectral"],
+            opt_g={"enc": opt_enc, "dec": opt_dec}, opt_d=opt_d,
+            g_metrics=g_metrics,
+        )
+        return new_state, metrics
+
+    return step
+
+
+def _make_paper_accum_step(cfg, axis_name, tx, lcfg, split_g, merge_g,
+                           make_forward, make_combined, clip_params,
+                           inject=None):
+    """Gradient-accumulation variant of the Algorithm-1 step. Unlike the
+    two-optimizer step (whose critic updates BETWEEN the D and G halves), all
+    three optimizers here update after all losses, so accumulation is a single
+    ``lax.scan``: per microbatch one combined backward (the same stop-gradient
+    CSE trick), grads summed per group, ONE update per optimizer. BN batch
+    statistics are per-microbatch and spectral u/v advance once per microbatch
+    forward (same caveats as make_accum_train_step). A sum-reduced KL is
+    rescaled by ``grad_accum`` inside the microbatch loss so the averaged
+    gradients reproduce the full-batch sum."""
+    inject = inject or {}
+    k = int(cfg.train.grad_accum)
+    kl_scale = float(k) if lcfg.kl_reduction == "sum" else 1.0
+
+    def step(state: TrainState, batch: jax.Array, key: jax.Array) -> Tuple[TrainState, Metrics]:
+        if axis_name is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+        B = batch.shape[0]
+        if B % k:
+            raise ValueError(f"batch size {B} not divisible by grad_accum {k}")
+        m = B // k
+        xs = {"batch": batch.reshape(k, m, *batch.shape[1:]),
+              "key": jax.random.split(key, k)}
+        if "z_p" in inject:
+            z = inject["z_p"]
+            xs["z_p"] = z.reshape(k, m, *z.shape[1:])
+        if "eps" in inject:
+            e = inject["eps"]
+            xs["eps"] = e.reshape(k, m, *e.shape[1:])
+        enc0, dec0 = split_g(state.g_params)
+        zero = jnp.zeros((), jnp.float32)
+        zsum = lambda tree: jax.tree.map(jnp.zeros_like, tree)
+
+        def micro(carry, x):
+            g_stats, d_stats, d_spec, eg_s, dg_s, ig_s, msum = carry
+            keys = jax.random.split(x["key"], PAPER_RNG_KEYS)
+            forward = make_forward(x["batch"], keys, g_stats, d_stats, d_spec,
+                                   z_p_inject=x.get("z_p"),
+                                   eps_inject=x.get("eps"))
+            combined = make_combined(forward, kl_scale=kl_scale)
+            (_, (aux, enc_l, dec_l, dis_l)), (eg, dg, ig) = jax.value_and_grad(
+                combined, argnums=(0, 1, 2), has_aux=True)(
+                    enc0, dec0, state.d_params)
+            g_stats, d_st, l_prior, l_llike, l_gan, bce_real, bce_fake = aux
+            eg_s = jax.tree.map(jnp.add, eg_s, eg)
+            dg_s = jax.tree.map(jnp.add, dg_s, dg)
+            ig_s = jax.tree.map(jnp.add, ig_s, ig)
+            msum = {
+                "g_loss": msum["g_loss"] + enc_l + dec_l,
+                "d_loss": msum["d_loss"] + dis_l,
+                "adv_loss": msum["adv_loss"] + l_gan,
+                "recon_loss": msum["recon_loss"] + l_llike,
+                "kl": msum["kl"] + l_prior,
+                "d_real_loss": msum["d_real_loss"] + bce_real,
+                "d_fake_loss": msum["d_fake_loss"] + bce_fake,
+            }
+            return (g_stats, d_st["batch_stats"], d_st["spectral"],
+                    eg_s, dg_s, ig_s, msum), None
+
+        init = (state.g_stats, state.d_stats, state.d_spectral,
+                zsum(enc0), zsum(dec0), zsum(state.d_params),
+                {kk: zero for kk in ("g_loss", "d_loss", "adv_loss", "recon_loss",
+                                     "kl", "d_real_loss", "d_fake_loss")})
+        (new_g_stats, new_d_stats, new_d_spec, eg, dg, ig, msum), _ = jax.lax.scan(
+            micro, init, xs)
+        enc_g, dec_g, dis_g = (jax.tree.map(lambda g: g / k, t)
+                               for t in (eg, dg, ig))
+        if axis_name is not None:
+            enc_g, dec_g, dis_g = jax.lax.pmean((enc_g, dec_g, dis_g), axis_name)
+
+        enc_up, opt_enc = tx.update(enc_g, state.opt_g["enc"], enc0)
+        dec_up, opt_dec = tx.update(dec_g, state.opt_g["dec"], dec0)
+        dis_up, opt_d = tx.update(dis_g, state.opt_d, state.d_params)
+        new_enc = optax.apply_updates(enc0, enc_up)
+        new_dec = optax.apply_updates(dec0, dec_up)
+        new_d = optax.apply_updates(state.d_params, dis_up)
+        if lcfg.clip_value is not None and lcfg.adversarial == "wgan":
+            new_d = clip_params(new_d, lcfg.clip_value)
+
+        mean = {kk: v / k for kk, v in msum.items()}
+        kl = msum["kl"] if lcfg.kl_reduction == "sum" else mean["kl"]
+        g_metrics = {"g_loss": mean["g_loss"], "adv_loss": mean["adv_loss"],
+                     "recon_loss": mean["recon_loss"], "kl": kl}
+        metrics = {"d_loss": mean["d_loss"], "d_real_loss": mean["d_real_loss"],
+                   "d_fake_loss": mean["d_fake_loss"],
+                   "gp": jnp.zeros((), jnp.float32), **g_metrics}
+        new_state = state.replace(
+            step=state.step + 1,
+            g_params=merge_g(new_enc, new_dec), d_params=new_d,
+            g_stats=new_g_stats, d_stats=new_d_stats, d_spectral=new_d_spec,
             opt_g={"enc": opt_enc, "dec": opt_dec}, opt_d=opt_d,
             g_metrics=g_metrics,
         )
