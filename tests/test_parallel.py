@@ -144,6 +144,41 @@ class TestTensorParallel:
             np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-5)
 
 
+class TestCombinedSharding:
+    def test_dp_tp_spatial_step_matches_single_device(self):
+        """The full composite strategy the driver's dryrun exercises (4-way data
+        x 2-way model mesh, critic-head TP + spatial-H batch sharding + DP):
+        one train step must reproduce the single-device step."""
+        from vaegan_tpu.parallel import shard_state, state_shardings
+        cfg = tiny_cfg()
+        batch_host = np.asarray(jax.random.uniform(jax.random.key(1), (16, 16, 16, 1)))
+        key = jax.random.key(2)
+
+        s0 = create_train_state(cfg, jax.random.key(0))
+        step1 = jax.jit(make_train_step(cfg, do_g_update=True))
+        s1, m1 = step1(s0, jnp.asarray(batch_host), key)
+
+        mesh2d = make_mesh(num_data=4, num_model=2)
+        spec = state_shardings(create_train_state(cfg, jax.random.key(0)), mesh2d)
+        bsh = batch_sharding(mesh2d, "data", spatial_axis="model")
+        sC = shard_state(create_train_state(cfg, jax.random.key(0)), mesh2d)
+        stepC = make_parallel_train_step(cfg, mesh2d, do_g_update=True,
+                                         state_spec=spec, batch_spec=bsh)
+        bC = jax.device_put(batch_host, bsh)
+        assert len(bC.sharding.device_set) == 8  # sharded over BOTH axes
+        kC = jax.device_put(key, NamedSharding(mesh2d, P()))
+        s2, m2 = stepC(sC, bC, kC)
+        for k in m1:
+            np.testing.assert_allclose(float(m1[k]), float(m2[k]),
+                                       rtol=2e-3, atol=1e-5, err_msg=k)
+        for name, a_tree, b_tree in (("g_params", s1.g_params, s2.g_params),
+                                     ("d_params", s1.d_params, s2.d_params)):
+            for a, b in zip(jax.tree.leaves(jax.device_get(a_tree)),
+                            jax.tree.leaves(jax.device_get(b_tree))):
+                np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-5,
+                                           err_msg=name)
+
+
 class TestSpatialSharding:
     def test_spatially_sharded_forward_is_exact(self):
         """Resolution is this model's sequence axis (SURVEY.md §2.3): sharding H
