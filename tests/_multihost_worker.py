@@ -60,7 +60,8 @@ def main(port: int, pid: int) -> None:
 
     mesh = make_mesh(num_data=8)
     bsh = batch_sharding(mesh)
-    it = device_prefetch(iter(loader), bsh, depth=1)
+    it = device_prefetch(iter(loader), bsh, depth=1,
+                         global_batch=cfg.data.batch_size)
     batch = next(it)
     assert batch.shape == (8, 16, 16, 1), batch.shape  # GLOBAL batch assembled
     # this process only holds its own half

@@ -136,7 +136,8 @@ def cmd_search(args):
 
     cfg = _load_cfg(args)
     random_search(cfg, n_trials=args.trials, results_path=args.results,
-                  archive_dir=args.archive, seed=args.seed or 0)
+                  archive_dir=args.archive, seed=args.seed or 0,
+                  max_steps_per_trial=args.max_steps_per_trial or None)
     return 0
 
 
@@ -196,6 +197,9 @@ def main(argv=None) -> int:
     sp.add_argument("--trials", type=int, default=8)
     sp.add_argument("--results", default="result/params.json")
     sp.add_argument("--archive", default="result/archive")
+    sp.add_argument("--max-steps-per-trial", type=int, default=200,
+                    help="per-trial optimizer-step cap; 0 = uncapped "
+                         "(full n_epochs per trial, like the reference)")
     sp.set_defaults(fn=cmd_search)
 
     sp = sub.add_parser("print-config", help="dump the resolved config JSON")

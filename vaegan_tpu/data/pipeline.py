@@ -19,7 +19,7 @@ import os
 import threading
 import queue
 from pathlib import Path
-from typing import Iterator, List, Sequence
+from typing import Iterator, List, Optional, Sequence
 
 import jax
 import numpy as np
@@ -311,11 +311,19 @@ class DataLoader:
 
 
 def device_prefetch(iterator: Iterator[np.ndarray], sharding=None,
-                    depth: int = 2) -> Iterator[jax.Array]:
+                    depth: int = 2,
+                    global_batch: Optional[int] = None) -> Iterator[jax.Array]:
     """Asynchronously stage host batches into HBM ``depth`` ahead of consumption.
 
     ``jax.device_put`` is async; holding ``depth`` un-consumed device batches lets
     the H2D DMA overlap the previous step's compute.
+
+    ``global_batch``: the configured global batch size, used to validate the
+    multi-host feed. Shapes alone cannot catch a non-process-sharded loader —
+    when dim 0 is sharded across processes, jax infers the global dim as
+    local x process_count regardless of whether the per-host batches are
+    distinct shards or duplicated full batches — so callers that know
+    ``cfg.data.batch_size`` should pass it.
     """
     from collections import deque
 
@@ -328,12 +336,13 @@ def device_prefetch(iterator: Iterator[np.ndarray], sharding=None,
             # must be process-sharded (DataLoader(process_index=, process_count=))
             # so each host holds a DISTINCT global_batch/process_count slice.
             arr = jax.make_array_from_process_local_data(sharding, host_batch)
-            if arr.shape[0] != host_batch.shape[0] * jax.process_count():
+            if global_batch is not None and arr.shape[0] != global_batch:
                 raise ValueError(
-                    f"multi-host feed: local batch {host_batch.shape[0]} x "
-                    f"{jax.process_count()} processes != assembled global batch "
-                    f"{arr.shape[0]} — the loader is not process-sharded (pass "
-                    "process_index/process_count to DataLoader/make_loader)")
+                    f"multi-host feed: assembled global batch {arr.shape[0]} != "
+                    f"configured batch {global_batch} (local batch "
+                    f"{host_batch.shape[0]}, {jax.process_count()} processes) — "
+                    "the loader is not process-sharded (pass process_index/"
+                    "process_count to DataLoader/make_loader)")
             buf.append(arr)
         else:
             buf.append(jax.device_put(host_batch, sharding))

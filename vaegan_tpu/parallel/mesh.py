@@ -36,7 +36,7 @@ def make_mesh(num_data: int = -1, num_model: int = 1,
     devices = list(devices if devices is not None else jax.devices())
     if num_data == -1:
         num_data = len(devices) // num_model
-    if num_data * num_model > len(devices):
+    if num_data < 1 or num_data * num_model > len(devices):
         raise ValueError(
             f"make_mesh needs {num_data}x{num_model}={num_data * num_model} devices, "
             f"have {len(devices)} ({devices[0].platform if devices else 'none'}); "
@@ -93,7 +93,7 @@ def state_shardings(state: TrainState, mesh: Mesh, model_axis: str = "model") ->
     return jax.tree_util.tree_map_with_path(rule, state)
 
 
-def shard_state(state: TrainState, mesh: Mesh) -> TrainState:
+def shard_state(state: TrainState, mesh: Mesh, model_axis: str = "model") -> TrainState:
     """Place the state per ``state_shardings`` (replicated, or TP for the critic
     head when the mesh has a model axis).
 
@@ -103,16 +103,14 @@ def shard_state(state: TrainState, mesh: Mesh) -> TrainState:
     assembled into a global array from the process-local copy. Multi-process
     placement supports fully-replicated state only (DP across hosts; TP of the
     critic head stays intra-host)."""
-    shardings = state_shardings(state, mesh)
+    shardings = state_shardings(state, mesh, model_axis=model_axis)
     if jax.process_count() > 1:
-        import numpy as np_
-
         def to_global(leaf, sh):
             if sh.spec != P():
                 raise NotImplementedError(
                     "multi-host shard_state supports replicated leaves only; "
                     f"got spec {sh.spec}")
-            return jax.make_array_from_process_local_data(sh, np_.asarray(leaf))
+            return jax.make_array_from_process_local_data(sh, np.asarray(leaf))
 
         return jax.tree.map(to_global, state, shardings)
     return jax.device_put(state, shardings)

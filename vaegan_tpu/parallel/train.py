@@ -52,16 +52,24 @@ def train_data_parallel(
 
     if loader is None:
         # a trailing partial batch cannot be sharded across the data axis;
-        # drop it (pass your own loader to override)
+        # drop it (pass your own loader to override). In a multi-process run
+        # each process serves only its own batch_size/process_count shard —
+        # device_prefetch assembles the global batch from the per-process
+        # shards (data/pipeline.py).
         from vaegan_tpu.data.pipeline import DataLoader, make_dataset
         d = cfg.data
         loader = DataLoader(make_dataset(d), batch_size=d.batch_size,
                             shuffle=d.shuffle, drop_last=True,
-                            seed=cfg.train.seed, prefetch_batches=d.prefetch)
+                            seed=cfg.train.seed, prefetch_batches=d.prefetch,
+                            process_index=jax.process_index(),
+                            process_count=jax.process_count())
 
     state = create_train_state(cfg, jax.random.key(cfg.train.seed))
     spec = state_shardings(state, mesh, model_axis=p.model_axis)
-    state = jax.device_put(state, spec)
+    # shard_state (not a bare device_put): in a multi-process run device_put
+    # cannot target non-addressable devices; shard_state assembles global
+    # arrays from the per-process replica instead
+    state = shard_state(state, mesh, model_axis=p.model_axis)
     step_g = make_parallel_train_step(cfg, mesh, do_g_update=True, state_spec=spec)
     if cfg.optim.scheme == "three":
         step_d = step_g  # the paper step has no critic-only variant; don't compile twice

@@ -145,11 +145,17 @@ def train(
             batch_offset = skip_in_epoch
         else:
             source = iter(loader)
-        it = device_prefetch(source, sharding, depth=cfg.data.prefetch)
+        it = device_prefetch(source, sharding, depth=cfg.data.prefetch,
+                             global_batch=cfg.data.batch_size)
         for i, batch in enumerate(it, start=batch_offset):
             if global_step < start_step:  # fallback decode-and-skip
                 global_step += 1
                 continue
+            if tcfg.max_steps is not None and global_step >= tcfg.max_steps:
+                # check BEFORE executing: a resumed run whose checkpoint already
+                # sits at the budget must not run (and re-checkpoint) extra steps
+                budget_hit = True
+                break
             step_key = jax.random.fold_in(key, global_step)
             do_g = (i % tcfg.n_critics) == 0  # README.md:812
             batches_done = epoch * n_batches + i if n_batches > 0 else global_step

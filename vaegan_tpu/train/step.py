@@ -121,11 +121,8 @@ def _critic_loss(cfg, disc, d_params, d_stats, d_spec, batch, gen_imgs_sg,
         g2 = gi.reshape(b, -1).astype(jnp.float32)
         norms = jnp.sqrt(jnp.sum(jnp.square(g2), axis=1) + 1e-24)
         gp = jnp.mean(jnp.square(norms - 1.0))
-        real_loss, fake_loss = (
-            (losses.bce_with_logits(real_logits, 1.0),
-             losses.bce_with_logits(fake_logits, 0.0))
-            if lcfg.adversarial == "bce"
-            else losses.wgan_critic_loss(real_logits, fake_logits))
+        # use_gp implies adversarial == "wgan"; bce configs take the concat-2 path
+        real_loss, fake_loss = losses.wgan_critic_loss(real_logits, fake_logits)
         d_loss = real_loss + fake_loss + lcfg.lambda_gp * gp
         return d_loss, (st, real_loss, fake_loss, gp)
 
