@@ -88,6 +88,20 @@ def main(port: int, pid: int) -> None:
     print(f"MULTIHOST_OK pid={pid} local_sum={local_sum:.6f} "
           f"d_loss={vals['d_loss']:.6f} g_loss={vals['g_loss']:.6f}", flush=True)
 
+    # the production one-call entry point (BASELINE config 5) in the same
+    # 2-process setting: shard_state placement + process-sharded default loader
+    # + device_prefetch global-batch assembly, 2 full loop steps
+    from vaegan_tpu.parallel.train import train_data_parallel
+
+    cfg2 = cfg.replace(train=cfg.train.replace(
+        n_epochs=10, max_steps=2, sample_interval=0, log_every=1))
+    final_state, logger = train_data_parallel(cfg2)
+    assert int(jax.device_get(final_state.step)) == 2
+    h = [m for m in logger.history if "_wall_s" not in m]
+    assert len(h) == 2 and all(np.isfinite(v) for m in h for v in m.values())
+    print(f"TRAINDP_OK pid={pid} d_loss={h[-1]['d_loss']:.6f} "
+          f"g_loss={h[-1]['g_loss']:.6f}", flush=True)
+
 
 if __name__ == "__main__":
     main(int(sys.argv[1]), int(sys.argv[2]))

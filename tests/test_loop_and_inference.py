@@ -64,6 +64,19 @@ class TestLoop:
         assert int(jax.device_get(state.step)) == 5
         assert len([m for m in logger.history if "_wall_s" not in m]) == 5
 
+    def test_max_steps_not_exceeded_on_resume(self, tmp_path):
+        """Resuming a run whose checkpoint already sits at the budget must not
+        execute (and re-checkpoint) extra steps: the budget check runs BEFORE a
+        step, not only after."""
+        cfg = tiny_cfg(tmp_path, max_steps=3,
+                       checkpoint_dir=str(tmp_path / "ckpt"), checkpoint_every=1)
+        cfg = cfg.replace(train=cfg.train.replace(n_epochs=5, sample_interval=0))
+        state, _ = train(cfg)
+        assert int(jax.device_get(state.step)) == 3
+        state2, logger2 = train(cfg, resume=True)
+        assert int(jax.device_get(state2.step)) == 3  # no overshoot
+        assert [m for m in logger2.history if "_wall_s" not in m] == []
+
     def test_n_critics_scheduling(self, tmp_path):
         cfg = tiny_cfg(tmp_path, n_critics=2)
         state, logger = train(cfg)

@@ -63,3 +63,11 @@ def test_two_process_dp_step():
     for metric in ("d_loss", "g_loss"):
         vals = [float(re.search(rf"{metric}=([-\d.]+)", o).group(1)) for o in outs]
         assert abs(vals[0] - vals[1]) < 1e-5, (metric, vals)
+
+    # the one-call production entry point ran 2 loop steps in the same setting
+    for pid, out in enumerate(outs):
+        assert f"TRAINDP_OK pid={pid}" in out, out[-2000:]
+    for metric in ("d_loss", "g_loss"):
+        vals = [float(re.search(rf"TRAINDP_OK pid=\d+ .*?{metric}=([-\d.]+)", o,
+                                re.DOTALL).group(1)) for o in outs]
+        assert abs(vals[0] - vals[1]) < 1e-5, ("train_data_parallel", metric, vals)
