@@ -144,6 +144,41 @@ class TestTensorParallel:
             np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-5)
 
 
+class TestPaperStepParallel:
+    def test_paper_step_dp_matches_single_device(self, mesh):
+        """BASELINE config 3 (three-optimizer Larsen step) under BASELINE
+        config 5's data parallelism: the sharded step must reproduce the
+        single-device result (global BN stats, allreduced per-group grads)."""
+        from vaegan_tpu.train import make_paper_train_step
+
+        base = tiny_cfg()
+        cfg = base.replace(
+            loss=base.loss.replace(adversarial="bce", reconstruction="dis_l",
+                                   lambda_gp=0.0, clip_value=None,
+                                   kl_reduction="mean"),
+            optim=base.optim.replace(scheme="three"))
+        batch_host = np.asarray(jax.random.uniform(jax.random.key(1), (16, 16, 16, 1)))
+        key = jax.random.key(2)
+
+        s0 = create_train_state(cfg, jax.random.key(0))
+        step1 = jax.jit(make_paper_train_step(cfg))
+        s1, m1 = step1(s0, jnp.asarray(batch_host), key)
+
+        s0b = replicate_state(create_train_state(cfg, jax.random.key(0)), mesh)
+        stepN = make_parallel_train_step(cfg, mesh)
+        sN, mN = stepN(s0b, jax.device_put(batch_host, batch_sharding(mesh)),
+                       jax.device_put(key, NamedSharding(mesh, P())))
+        for k in m1:
+            np.testing.assert_allclose(float(m1[k]), float(mN[k]),
+                                       rtol=2e-3, atol=1e-5, err_msg=k)
+        for name, a_tree, b_tree in (("g_params", s1.g_params, sN.g_params),
+                                     ("d_params", s1.d_params, sN.d_params)):
+            for a, b in zip(jax.tree.leaves(jax.device_get(a_tree)),
+                            jax.tree.leaves(jax.device_get(b_tree))):
+                np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-5,
+                                           err_msg=name)
+
+
 class TestCombinedSharding:
     def test_dp_tp_spatial_step_matches_single_device(self):
         """The full composite strategy the driver's dryrun exercises (4-way data
