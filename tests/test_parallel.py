@@ -247,6 +247,35 @@ class TestTrainDataParallel:
         h = [m for m in logger.history if "_wall_s" not in m]
         assert len(h) == 2 and all(np.isfinite(v) for m in h for v in m.values())
 
+    def test_grad_accum_under_dp(self, mesh):
+        """grad_accum's microbatch scan composes with the GSPMD-sharded step."""
+        cfg = tiny_cfg()
+        cfg = cfg.replace(train=cfg.train.replace(grad_accum=2))
+        state = replicate_state(create_train_state(cfg, jax.random.key(0)), mesh)
+        step = make_parallel_train_step(cfg, mesh, do_g_update=True)
+        b = jax.device_put(
+            np.asarray(jax.random.uniform(jax.random.key(1), (16, 16, 16, 1))),
+            batch_sharding(mesh))
+        k = jax.device_put(jax.random.key(2), NamedSharding(mesh, P()))
+        s, m = step(state, b, k)
+        assert int(jax.device_get(s.step)) == 1
+        assert all(np.isfinite(float(v)) for v in m.values())
+
+    def test_checkpoint_resume_under_dp(self, tmp_path):
+        """Orbax save/restore of mesh-placed state through the one-call entry."""
+        from vaegan_tpu.parallel.train import train_data_parallel
+        cfg = tiny_cfg()
+        cfg = cfg.replace(
+            data=cfg.data.replace(batch_size=16, synthetic=True, synthetic_size=64),
+            train=cfg.train.replace(n_epochs=2, max_steps=3, sample_interval=0,
+                                    checkpoint_dir=str(tmp_path / "ckpt"),
+                                    checkpoint_every=1))
+        s1, _ = train_data_parallel(cfg)
+        assert int(jax.device_get(s1.step)) == 3
+        cfg2 = cfg.replace(train=cfg.train.replace(max_steps=5))
+        s2, _ = train_data_parallel(cfg2, resume=True)
+        assert int(jax.device_get(s2.step)) == 5
+
     def test_batch_divisibility_error(self):
         from vaegan_tpu.parallel.train import train_data_parallel
         cfg = tiny_cfg()

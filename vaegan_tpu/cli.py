@@ -43,6 +43,10 @@ def _load_cfg(args):
         t = t.replace(checkpoint_dir=args.checkpoint)
     if getattr(args, "seed", None) is not None:
         t = t.replace(seed=args.seed)
+    if getattr(args, "grad_accum", None):
+        t = t.replace(grad_accum=args.grad_accum)
+    if getattr(args, "max_steps", None):
+        t = t.replace(max_steps=args.max_steps)
     return cfg.replace(train=t)
 
 
@@ -173,6 +177,11 @@ def main(argv=None) -> int:
                     help="restore the latest checkpoint and continue")
     sp.add_argument("--dp", action="store_true",
                     help="data-parallel over all visible devices (mesh from cfg.parallel)")
+    sp.add_argument("--grad-accum", type=int,
+                    help="microbatch accumulation factor (one optimizer update "
+                         "per accumulated batch)")
+    sp.add_argument("--max-steps", type=int,
+                    help="hard optimizer-step budget (overrides epochs)")
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("eval", help="reconstruction MSE on data batches")
