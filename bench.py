@@ -162,16 +162,21 @@ def bench_roofline() -> None:
     }))
 
 
-def main() -> None:
+def main(preset_name: str = "notebook") -> None:
+    """Default: the notebook WGAN-GP step (the headline). ``--paper`` measures
+    the Larsen three-optimizer step (BASELINE config 3); ``--vae`` the plain-VAE
+    run (adv weight 0, dummy critic still training, README.md:1283) — the
+    secondary rows of the BENCH_NOTES table."""
     batch_size = int(os.environ.get("BENCH_BATCH", 128))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     n_steps = int(os.environ.get("BENCH_STEPS", 20))
     image = int(os.environ.get("BENCH_IMAGE", 96))
 
     from vaegan_tpu.config import preset
-    from vaegan_tpu.train import create_train_state, make_train_step
+    from vaegan_tpu.train import (
+        create_train_state, make_paper_train_step, make_train_step)
 
-    cfg = preset("notebook")
+    cfg = preset(preset_name)
     cfg = cfg.replace(
         data=cfg.data.replace(image_size=image, batch_size=batch_size),
         train=cfg.train.replace(
@@ -181,7 +186,9 @@ def main() -> None:
     )
 
     state = create_train_state(cfg, jax.random.key(0))
-    step = jax.jit(make_train_step(cfg, do_g_update=True), donate_argnums=0)
+    step_fn = (make_paper_train_step(cfg) if cfg.optim.scheme == "three"
+               else make_train_step(cfg, do_g_update=True))
+    step = jax.jit(step_fn, donate_argnums=0)
     batch = jax.random.uniform(jax.random.key(1), (batch_size, image, image, 1), jnp.float32)
     # the shipped training loop's key stream (TrainConfig.rng_impl, default rbg —
     # the hardware-friendly counter RNG; threefry costs ~15% of the generator
@@ -201,8 +208,10 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     imgs_per_sec = batch_size * n_steps / dt
+    label = {"notebook": "VAE-GAN", "vaegan_paper": "Larsen-paper",
+             "notebook_vae": "plain-VAE"}.get(preset_name, preset_name)
     print(json.dumps({
-        "metric": f"{image}x{image} VAE-GAN train-step images/sec/chip "
+        "metric": f"{image}x{image} {label} train-step images/sec/chip "
                   f"(batch {batch_size}, {dtype})",
         "value": round(imgs_per_sec, 1),
         "unit": "images/sec/chip",
@@ -215,5 +224,9 @@ if __name__ == "__main__":
         bench_loader()
     elif "--roofline" in sys.argv:
         bench_roofline()
+    elif "--paper" in sys.argv:
+        main("vaegan_paper")
+    elif "--vae" in sys.argv:
+        main("notebook_vae")
     else:
         main()
