@@ -64,6 +64,17 @@ class TestLoop:
         assert int(jax.device_get(state.step)) == 5
         assert len([m for m in logger.history if "_wall_s" not in m]) == 5
 
+    def test_partial_tail_batch_trains(self, tmp_path):
+        """drop_last=False (the reference's DataLoader default, README.md:96-99):
+        a dataset not divisible by the batch size yields a short tail batch —
+        the step re-jits for the tail shape and the loop completes."""
+        cfg = tiny_cfg(tmp_path)
+        cfg = cfg.replace(data=cfg.data.replace(synthetic_size=18, batch_size=4))
+        state, logger = train(cfg)
+        assert int(jax.device_get(state.step)) == 5  # 4 full + 1 tail(2)
+        h = [m for m in logger.history if "_wall_s" not in m]
+        assert len(h) == 5 and all(np.isfinite(v) for m in h for v in m.values())
+
     def test_max_steps_not_exceeded_on_resume(self, tmp_path):
         """Resuming a run whose checkpoint already sits at the budget must not
         execute (and re-checkpoint) extra steps: the budget check runs BEFORE a
