@@ -148,7 +148,15 @@ def cmd_search(args):
 def cmd_bench(args):
     import runpy
 
-    sys.argv = ["bench.py"]
+    # accept bare words (argparse rejects unknown --flags): `bench loader`
+    valid = {"paper", "vae", "loader", "roofline"}
+    modes = [m.lstrip("-") for m in (args.mode or [])]
+    bad = [m for m in modes if m not in valid]
+    if bad:
+        print(f"unknown bench mode(s) {bad}; valid: {sorted(valid)}",
+              file=sys.stderr)
+        return 2
+    sys.argv = ["bench.py"] + [f"--{m}" for m in modes]
     runpy.run_path(str(Path(__file__).resolve().parents[1] / "bench.py"),
                    run_name="__main__")
     return 0
@@ -216,6 +224,9 @@ def main(argv=None) -> int:
     sp.set_defaults(fn=cmd_print_config)
 
     sp = sub.add_parser("bench", help="run the throughput benchmark")
+    sp.add_argument("mode", nargs="*",
+                    help="bench mode: paper | vae | loader | roofline "
+                         "(default: headline WGAN-GP step)")
     sp.set_defaults(fn=cmd_bench)
 
     args = p.parse_args(argv)
