@@ -64,6 +64,22 @@ class TestLoop:
         assert int(jax.device_get(state.step)) == 5
         assert len([m for m in logger.history if "_wall_s" not in m]) == 5
 
+    def test_sample_dir_wiped_on_fresh_run_kept_on_resume(self, tmp_path):
+        """The reference deletes+recreates its inference-image folder at every
+        training start (shutil.rmtree, README.md:765-766); a resumed run keeps
+        prior grids."""
+        cfg = tiny_cfg(tmp_path, checkpoint_dir=str(tmp_path / "ck"),
+                       checkpoint_every=2)
+        stale = tmp_path / "samples" / "stale.png"
+        stale.parent.mkdir(parents=True, exist_ok=True)
+        stale.write_bytes(b"x")
+        train(cfg)
+        assert not stale.exists()  # wiped like the reference
+        marker = tmp_path / "samples" / "0.png"
+        assert marker.exists()
+        train(cfg, resume=True)
+        assert marker.exists()  # resume preserves the folder
+
     def test_partial_tail_batch_trains(self, tmp_path):
         """drop_last=False (the reference's DataLoader default, README.md:96-99):
         a dataset not divisible by the batch size yields a short tail batch —
