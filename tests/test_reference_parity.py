@@ -290,6 +290,73 @@ class TestReferenceCriticForward:
             np.asarray(logits), ref_logits.numpy(), rtol=1e-3, atol=1e-4)
 
 
+class TestReferenceRoundTrip:
+    """interop's reverse direction: our variables -> the reference's own
+    state_dict layout. Round-trip (torch -> variables -> torch) must be exact,
+    and the exported dict must load into a FRESH reference module with
+    strict=True and reproduce its forward — the torch-deployment escape hatch
+    for trained tpu-vaegan weights."""
+
+    def test_generator_round_trip_and_reload(self, ref):
+        ns, _ = ref
+        torch.manual_seed(11)
+        gen = _build_ref_generator(ns, depth=2, length=1, feature_size=8)
+        with torch.no_grad():
+            gen(torch.rand(2, 1, 96, 96))  # move BN stats off init
+        sd = gen.state_dict()
+
+        variables = interop.reference_generator_to_variables(sd)
+        back = interop.reference_generator_from_variables(variables)
+        assert set(back) == set(sd.keys())
+        for k in sd:
+            if k.endswith("num_batches_tracked"):
+                continue  # not represented in our state (torch momentum=None only)
+            np.testing.assert_allclose(
+                back[k], sd[k].detach().numpy(), rtol=0, atol=0, err_msg=k)
+
+        fresh = _build_ref_generator(ns, depth=2, length=1, feature_size=8)
+        fresh.load_state_dict({k: torch.from_numpy(np.asarray(v).copy())
+                               for k, v in back.items()}, strict=True)
+        gen.set_is_training(False); gen.eval()
+        fresh.set_is_training(False); fresh.eval()
+        x = torch.rand(2, 1, 96, 96)
+        with torch.no_grad():
+            a, b = gen(x)[0], fresh(x)[0]
+        np.testing.assert_allclose(a.numpy(), b.numpy(), rtol=1e-6, atol=1e-6)
+
+    def test_discriminator_round_trip_and_reload(self, ref):
+        ns, _ = ref
+        torch.manual_seed(13)
+        params = dict(num_stride_conv1=2, num_features_conv1=4,
+                      num_blocks=[1, 1], num_strides_res=[2, 2],
+                      num_features_res=[8, 8])
+        disc = _build_ref_discriminator(ns, **params)
+        disc.train()
+        with torch.no_grad():
+            disc(torch.rand(2, 1, 256, 256))  # BN stats + one power iteration
+        sd = disc.state_dict()
+
+        variables = interop.reference_discriminator_to_variables(
+            sd, pool_shape=(8, 8, 8))
+        back = interop.reference_discriminator_from_variables(
+            variables, pool_shape=(8, 8, 8))
+        assert set(back) == set(sd.keys())
+        for k in sd:
+            if k.endswith("num_batches_tracked"):
+                continue  # not represented in our state (torch momentum=None only)
+            np.testing.assert_allclose(
+                back[k], sd[k].detach().numpy(), rtol=0, atol=0, err_msg=k)
+
+        fresh = _build_ref_discriminator(ns, **params)
+        fresh.load_state_dict({k: torch.from_numpy(np.asarray(v).copy())
+                               for k, v in back.items()}, strict=True)
+        disc.eval(); fresh.eval()
+        x = torch.rand(2, 1, 256, 256)
+        with torch.no_grad():
+            np.testing.assert_allclose(disc(x).numpy(), fresh(x).numpy(),
+                                       rtol=1e-5, atol=1e-6)
+
+
 class TestReferenceOneTrainStep:
     """ONE step of the reference's own train_network_wgan (README.md:775-834) vs
     make_train_step, dropout p=0, torch eps/alpha injected. Catches event-order bugs

@@ -180,3 +180,131 @@ def reference_discriminator_to_variables(
     }
     return torch_state_dict_to_variables(
         mapped, first_linear="linear_1", pool_shape=pool_shape)
+
+
+# --- reverse direction: our variables -> torch state_dict --------------------
+
+def conv_weight_inv(w: np.ndarray) -> np.ndarray:
+    """(KH, KW, I, O) -> (O, I, KH, KW) — inverse of :func:`conv_weight`."""
+    return np.ascontiguousarray(np.transpose(w, (3, 2, 0, 1)))
+
+
+def conv_transpose_weight_inv(w: np.ndarray) -> np.ndarray:
+    """(KH, KW, I, O) -> (I, O, KH, KW) — inverse of
+    :func:`conv_transpose_weight` (the (2, 3, 0, 1) permutation is involutive)."""
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 0, 1)))
+
+
+def linear_weight_inv(w: np.ndarray, pool_shape: Optional[Tuple[int, int, int]] = None) -> np.ndarray:
+    """(in, out) -> (out, in) — inverse of :func:`linear_weight`, including the
+    HWC->CHW flatten-row permute when ``pool_shape`` is given."""
+    w = np.ascontiguousarray(w.T)
+    if pool_shape is not None:
+        c, h, w_ = pool_shape
+        w = w.reshape(w.shape[0], h, w_, c).transpose(0, 3, 1, 2).reshape(w.shape[0], -1)
+    return np.ascontiguousarray(w)
+
+
+def _walk(tree: Mapping[str, Any], path: Tuple[str, ...], out: Dict[Tuple[str, ...], np.ndarray]) -> None:
+    for k, v in tree.items():
+        if isinstance(v, Mapping):
+            _walk(v, path + (k,), out)
+        else:
+            out[path + (k,)] = np.asarray(v)
+
+
+def variables_to_torch_state_dict(
+    variables: Mapping[str, Any],
+    *,
+    first_linear: Optional[str] = None,
+    pool_shape: Optional[Tuple[int, int, int]] = None,
+) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`torch_state_dict_to_variables`: flax-style variable
+    collections -> a torch-layout ``state_dict`` (numpy values; pass through
+    ``torch.from_numpy`` to load). Spectral-norm-wrapped kernels (module present
+    in the ``spectral`` collection) emit ``weight_orig``/``weight_u``/``weight_v``;
+    BatchNorm modules (present in ``batch_stats``) additionally emit a zero
+    ``num_batches_tracked`` so ``load_state_dict(strict=True)`` accepts the
+    result. Module names are OUR names (``shortcut_conv`` etc.) — the
+    ``reference_*_from_variables`` helpers rewrite them to the notebook's paths.
+    """
+    params: Dict[Tuple[str, ...], np.ndarray] = {}
+    stats: Dict[Tuple[str, ...], np.ndarray] = {}
+    spec: Dict[Tuple[str, ...], np.ndarray] = {}
+    _walk(variables.get("params", {}), (), params)
+    _walk(variables.get("batch_stats", {}), (), stats)
+    _walk(variables.get("spectral", {}), (), spec)
+    sn_mods = {p[:-1] for p in spec}
+    bn_mods = {p[:-1] for p in stats}
+
+    out: Dict[str, np.ndarray] = {}
+    for path, val in params.items():
+        mod, leaf = path[:-1], path[-1]
+        name = ".".join(mod)
+        if leaf == "kernel":
+            wname = "weight_orig" if mod in sn_mods else "weight"
+            if val.ndim == 4:
+                # same structural rule as the forward mapping: only conv1 and the
+                # shortcut conv of an upsample-mode block are ConvTranspose2d
+                in_upsample = any("upsample" in p for p in mod)
+                transposed = in_upsample and mod and mod[-1] in ("conv1", "shortcut_conv")
+                w = conv_transpose_weight_inv(val) if transposed else conv_weight_inv(val)
+            elif val.ndim == 2:
+                ps = pool_shape if (first_linear and name.endswith(first_linear)) else None
+                w = linear_weight_inv(val, ps)
+            else:
+                raise ValueError(f"unexpected kernel rank for {name}: {val.shape}")
+            out[f"{name}.{wname}"] = w
+        elif leaf == "scale":  # BatchNorm weight
+            out[f"{name}.weight"] = val
+        elif leaf == "bias":
+            out[f"{name}.bias"] = val
+        else:
+            raise ValueError(f"unhandled params leaf {leaf!r} at {name}")
+    for path, val in stats.items():
+        mod, leaf = path[:-1], path[-1]
+        name = ".".join(mod)
+        key = {"mean": "running_mean", "var": "running_var"}.get(leaf)
+        if key is None:
+            raise ValueError(f"unhandled batch_stats leaf {leaf!r} at {name}")
+        out[f"{name}.{key}"] = val
+    for mod in bn_mods:
+        out[".".join(mod) + ".num_batches_tracked"] = np.asarray(0, np.int64)
+    for path, val in spec.items():
+        mod, leaf = path[:-1], path[-1]
+        name = ".".join(mod)
+        if leaf not in ("u", "v"):
+            raise ValueError(f"unhandled spectral leaf {leaf!r} at {name}")
+        out[f"{name}.weight_{leaf}"] = val
+    return {k.replace("shortcut_conv", "shortcut.0").replace("shortcut_bn", "shortcut.1"): v
+            for k, v in out.items()}
+
+
+_RES_LAYERS_INV_RE = re.compile(r"^res_layers_(\d+)_(\d+)\.")
+
+
+def reference_generator_from_variables(variables: Mapping[str, Any]) -> Dict[str, np.ndarray]:
+    """Our generator variables -> the reference
+    ``UnsupervisedGeneratorNetwork.state_dict()`` key layout (the notebook nests
+    its block Sequential one level deeper: ``encoder.encoder.*`` /
+    ``decoder.decoder.*``, README.md:236/291)."""
+    sd = variables_to_torch_state_dict(variables)
+    out = {}
+    for k, v in sd.items():
+        if k.startswith("encoder."):
+            k = "encoder.encoder." + k[len("encoder."):]
+        elif k.startswith("decoder."):
+            k = "decoder.decoder." + k[len("decoder."):]
+        out[k] = v
+    return out
+
+
+def reference_discriminator_from_variables(
+    variables: Mapping[str, Any], pool_shape: Tuple[int, int, int],
+) -> Dict[str, np.ndarray]:
+    """Our critic variables -> the reference ``Discriminator.state_dict()`` key
+    layout (``res_layers.<stage>.<block>``, README.md:453/488-498)."""
+    sd = variables_to_torch_state_dict(
+        variables, first_linear="linear_1", pool_shape=pool_shape)
+    return {_RES_LAYERS_INV_RE.sub(lambda m: f"res_layers.{m.group(1)}.{m.group(2)}.", k): v
+            for k, v in sd.items()}
