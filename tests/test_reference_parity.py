@@ -357,6 +357,47 @@ class TestReferenceRoundTrip:
                                        rtol=1e-5, atol=1e-6)
 
 
+    def test_trained_state_exports_into_reference_classes(self, ref):
+        """export_reference_state_dicts: a TrainState that has actually taken a
+        train step (real BN stats, spectral u/v, clipped critic) loads into the
+        reference's own classes strict=True and runs."""
+        ns, _ = ref
+        from vaegan_tpu.train import create_train_state
+        cfg = Config(
+            generator=GeneratorConfig(depth=2, length=1, feature_size=8),
+            discriminator=DiscriminatorConfig(
+                num_stride_conv1=2, num_features_conv1=4, num_blocks=(1, 1),
+                num_strides_res=(2, 2), num_features_res=(8, 8), pool_size=4,
+                linear_widths=(1024, 512, 256)),
+            data=DataConfig(image_size=256, batch_size=2),
+        )
+        state = create_train_state(cfg, jax.random.key(0))
+        step = jax.jit(make_train_step(cfg, do_g_update=True))
+        state, _ = step(state, jnp.asarray(np.random.rand(2, 256, 256, 1),
+                                           jnp.float32), jax.random.key(1))
+
+        gen_sd, disc_sd = interop.export_reference_state_dicts(cfg, state)
+        gen = _build_ref_generator(ns, depth=2, length=1, feature_size=8)
+        gen.load_state_dict({k: torch.from_numpy(np.asarray(v).copy())
+                             for k, v in gen_sd.items()}, strict=True)
+        disc = _build_ref_discriminator(
+            ns, num_stride_conv1=2, num_features_conv1=4, num_blocks=[1, 1],
+            num_strides_res=[2, 2], num_features_res=[8, 8])
+        disc.load_state_dict({k: torch.from_numpy(np.asarray(v).copy())
+                              for k, v in disc_sd.items()}, strict=True)
+        gen.set_is_training(False); gen.eval(); disc.eval()
+        with torch.no_grad():
+            x = torch.rand(2, 1, 256, 256)
+            recon, _, _ = gen(x)
+            logits = disc(x)
+        assert torch.isfinite(recon).all() and torch.isfinite(logits).all()
+        # post-step critic clip must have survived the export (README.md:805)
+        for name, p in disc.named_parameters():
+            if "weight_u" in name or "weight_v" in name:
+                continue
+            assert float(p.abs().max()) <= 0.01 + 1e-6, name
+
+
 class TestReferenceOneTrainStep:
     """ONE step of the reference's own train_network_wgan (README.md:775-834) vs
     make_train_step, dropout p=0, torch eps/alpha injected. Catches event-order bugs

@@ -308,3 +308,28 @@ def reference_discriminator_from_variables(
         variables, first_linear="linear_1", pool_shape=pool_shape)
     return {_RES_LAYERS_INV_RE.sub(lambda m: f"res_layers.{m.group(1)}.{m.group(2)}.", k): v
             for k, v in sd.items()}
+
+
+def critic_pool_shape(cfg) -> Tuple[int, int, int]:
+    """(C, H, W) of the critic's avg-pool output for a :class:`Config` — the
+    ``pool_shape`` the flatten-row permute needs (README.md:451-458)."""
+    d, s = cfg.discriminator, cfg.data.image_size
+    s = -(-s // d.num_stride_conv1)          # ceil-div: SAME/pad-1 stride conv
+    for st in d.num_strides_res:
+        s = -(-s // st)
+    s //= d.pool_size                        # avg_pool2d floors
+    return (d.num_features_res[-1], s, s)
+
+
+def export_reference_state_dicts(cfg, state):
+    """One-call export of a trained :class:`TrainState` to the reference
+    notebook's ``state_dict`` layouts: ``(generator_sd, discriminator_sd)``,
+    loadable into its ``UnsupervisedGeneratorNetwork`` / ``Discriminator`` with
+    ``strict=True`` (wrap values in ``torch.from_numpy``)."""
+    gen_sd = reference_generator_from_variables(
+        {"params": state.g_params, "batch_stats": state.g_stats})
+    disc_sd = reference_discriminator_from_variables(
+        {"params": state.d_params, "batch_stats": state.d_stats,
+         "spectral": state.d_spectral},
+        pool_shape=critic_pool_shape(cfg))
+    return gen_sd, disc_sd
