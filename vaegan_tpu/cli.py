@@ -97,6 +97,29 @@ def cmd_eval(args):
     return 0
 
 
+def cmd_export(args):
+    from vaegan_tpu.interop import export_reference_state_dicts
+
+    cfg = _load_cfg(args)
+    state = _restore(cfg, args.checkpoint)
+    gen_sd, disc_sd = export_reference_state_dicts(cfg, state)
+    try:
+        import torch
+
+        gen_out = {k: torch.from_numpy(v.copy()) for k, v in gen_sd.items()}
+        disc_out = {k: torch.from_numpy(v.copy()) for k, v in disc_sd.items()}
+        torch.save(gen_out, args.generator_out)
+        torch.save(disc_out, args.discriminator_out)
+    except ImportError:  # numpy fallback: loadable via np.load + from_numpy
+        import numpy as _np
+
+        _np.savez(args.generator_out, **gen_sd)
+        _np.savez(args.discriminator_out, **disc_sd)
+    print(f"exported generator ({len(gen_sd)} tensors) -> {args.generator_out}, "
+          f"discriminator ({len(disc_sd)} tensors) -> {args.discriminator_out}")
+    return 0
+
+
 def cmd_sample(args):
     import jax
 
@@ -191,6 +214,14 @@ def main(argv=None) -> int:
     sp.add_argument("--max-steps", type=int,
                     help="hard optimizer-step budget (overrides epochs)")
     sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("export",
+                        help="export a checkpoint to the reference notebook's "
+                             "torch state_dict layout")
+    common(sp, ckpt_required=True)
+    sp.add_argument("--generator-out", default="generator_state_dict.pt")
+    sp.add_argument("--discriminator-out", default="discriminator_state_dict.pt")
+    sp.set_defaults(fn=cmd_export)
 
     sp = sub.add_parser("eval", help="reconstruction MSE on data batches")
     common(sp, ckpt_required=True)
