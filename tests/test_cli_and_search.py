@@ -144,6 +144,32 @@ class TestCli:
         out = capsys.readouterr().out
         assert "Mean squared error" in out
 
+    def test_export_command(self, tmp_path, capsys, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        from vaegan_tpu.cli import main
+        cfg = tiny_base(tmp_path).replace(
+            generator=GeneratorConfig(depth=1, length=1, feature_size=8),
+            discriminator=DiscriminatorConfig(
+                num_stride_conv1=1, num_features_conv1=8, num_blocks=(1,),
+                num_strides_res=(2,), num_features_res=(16,), pool_size=2,
+                linear_widths=(16, 8, 8)))
+        cfg.to_json(str(tmp_path / "cfg.json"))
+        main(["train", "--config", str(tmp_path / "cfg.json"),
+              "--checkpoint", str(tmp_path / "ckpt")])
+        rc = main(["export", "--config", str(tmp_path / "cfg.json"),
+                   "--checkpoint", str(tmp_path / "ckpt"),
+                   "--generator-out", str(tmp_path / "g.pt"),
+                   "--discriminator-out", str(tmp_path / "d.pt")])
+        assert rc == 0
+        assert "exported generator" in capsys.readouterr().out
+        import torch
+        g = torch.load(str(tmp_path / "g.pt"))
+        d = torch.load(str(tmp_path / "d.pt"))
+        # reference state_dict layouts: nested block names + SN triplets
+        assert any(k.startswith("encoder.encoder.") for k in g)
+        assert any(k.endswith("weight_orig") for k in d)
+        assert any(k.endswith("weight_u") for k in d)
+
     def test_sample_command(self, tmp_path, capsys, monkeypatch):
         monkeypatch.chdir(tmp_path)
         from vaegan_tpu.cli import main
