@@ -1,0 +1,52 @@
+"""Contract test for bench.py — the driver-visible artifact.
+
+Runs the benchmark at tiny shapes in a subprocess (CPU) and asserts the ONE
+JSON line the driver parses: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+BENCH = Path(__file__).resolve().parents[1] / "bench.py"
+
+
+def _run(args=()):
+    env = dict(os.environ)
+    env.update(BENCH_BATCH="2", BENCH_IMAGE="16", BENCH_STEPS="2",
+               BENCH_DTYPE="float32", BENCH_DATASET="8")
+    # force the CPU backend BEFORE bench touches jax (the environment's
+    # sitecustomize registers a TPU plugin and ignores JAX_PLATFORMS)
+    wrapper = (
+        "import jax, runpy, sys; "
+        "jax.config.update('jax_platforms', 'cpu'); "
+        f"sys.argv = ['bench.py'] + {list(args)!r}; "
+        f"runpy.run_path({str(BENCH)!r}, run_name='__main__')"
+    )
+    out = subprocess.run(
+        [sys.executable, "-u", "-c", wrapper],
+        capture_output=True, text=True, timeout=420, env=env)
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    assert lines, out.stdout[-2000:]
+    return json.loads(lines[-1])
+
+
+def test_headline_json_contract():
+    rec = _run()
+    assert set(rec) >= {"metric", "value", "unit", "vs_baseline"}
+    assert rec["unit"] == "images/sec/chip"
+    assert rec["value"] > 0
+    assert abs(rec["vs_baseline"] - round(rec["value"] / 5000.0, 3)) < 1e-9
+
+
+def test_paper_mode_runs():
+    rec = _run(["--paper"])
+    assert "Larsen-paper" in rec["metric"] and rec["value"] > 0
+
+
+def test_loader_mode_runs():
+    rec = _run(["--loader"])
+    assert rec["unit"] == "images/sec" and rec["value"] > 0
