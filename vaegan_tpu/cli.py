@@ -43,10 +43,14 @@ def _load_cfg(args):
         t = t.replace(checkpoint_dir=args.checkpoint)
     if getattr(args, "seed", None) is not None:
         t = t.replace(seed=args.seed)
-    if getattr(args, "grad_accum", None):
+    if getattr(args, "grad_accum", None) is not None:
+        if args.grad_accum < 1:
+            raise SystemExit(f"--grad-accum must be >= 1, got {args.grad_accum}")
         t = t.replace(grad_accum=args.grad_accum)
-    if getattr(args, "max_steps", None):
-        t = t.replace(max_steps=args.max_steps)
+    if getattr(args, "max_steps", None) is not None:
+        # 0 = unbounded (matches examples/train_multichip.py), overriding any
+        # budget in the loaded config
+        t = t.replace(max_steps=args.max_steps or None)
     return cfg.replace(train=t)
 
 
@@ -110,14 +114,21 @@ def cmd_export(args):
         disc_out = {k: torch.from_numpy(v.copy()) for k, v in disc_sd.items()}
         torch.save(gen_out, args.generator_out)
         torch.save(disc_out, args.discriminator_out)
+        print(f"exported generator ({len(gen_sd)} tensors) -> "
+              f"{args.generator_out}, discriminator ({len(disc_sd)} tensors) "
+              f"-> {args.discriminator_out}")
+        return 0
     except ImportError:  # numpy fallback: loadable via np.load + from_numpy
         import numpy as _np
 
-        _np.savez(args.generator_out, **gen_sd)
-        _np.savez(args.discriminator_out, **disc_sd)
-    print(f"exported generator ({len(gen_sd)} tensors) -> {args.generator_out}, "
-          f"discriminator ({len(disc_sd)} tensors) -> {args.discriminator_out}")
-    return 0
+        g_path, d_path = (p if p.endswith(".npz") else p + ".npz"
+                          for p in (args.generator_out, args.discriminator_out))
+        _np.savez(g_path, **gen_sd)
+        _np.savez(d_path, **disc_sd)
+        print("torch unavailable — wrote numpy archives instead: "
+              f"generator ({len(gen_sd)} tensors) -> {g_path}, "
+              f"discriminator ({len(disc_sd)} tensors) -> {d_path}")
+        return 0
 
 
 def cmd_sample(args):
@@ -179,6 +190,10 @@ def cmd_bench(args):
         print(f"unknown bench mode(s) {bad}; valid: {sorted(valid)}",
               file=sys.stderr)
         return 2
+    if len(modes) > 1:
+        # bench.py runs exactly one mode; refuse rather than silently drop
+        print(f"pass at most one bench mode, got {modes}", file=sys.stderr)
+        return 2
     sys.argv = ["bench.py"] + [f"--{m}" for m in modes]
     runpy.run_path(str(Path(__file__).resolve().parents[1] / "bench.py"),
                    run_name="__main__")
@@ -209,10 +224,11 @@ def main(argv=None) -> int:
     sp.add_argument("--dp", action="store_true",
                     help="data-parallel over all visible devices (mesh from cfg.parallel)")
     sp.add_argument("--grad-accum", type=int,
-                    help="microbatch accumulation factor (one optimizer update "
-                         "per accumulated batch)")
+                    help="microbatch accumulation factor >= 1 (one optimizer "
+                         "update per accumulated batch)")
     sp.add_argument("--max-steps", type=int,
-                    help="hard optimizer-step budget (overrides epochs)")
+                    help="hard optimizer-step budget; 0 = unbounded "
+                         "(overrides the config)")
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("export",

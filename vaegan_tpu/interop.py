@@ -218,15 +218,23 @@ def variables_to_torch_state_dict(
     *,
     first_linear: Optional[str] = None,
     pool_shape: Optional[Tuple[int, int, int]] = None,
+    num_batches_tracked: int = 0,
 ) -> Dict[str, np.ndarray]:
     """Inverse of :func:`torch_state_dict_to_variables`: flax-style variable
     collections -> a torch-layout ``state_dict`` (numpy values; pass through
     ``torch.from_numpy`` to load). Spectral-norm-wrapped kernels (module present
     in the ``spectral`` collection) emit ``weight_orig``/``weight_u``/``weight_v``;
-    BatchNorm modules (present in ``batch_stats``) additionally emit a zero
+    BatchNorm modules (present in ``batch_stats``) additionally emit
     ``num_batches_tracked`` so ``load_state_dict(strict=True)`` accepts the
     result. Module names are OUR names (``shortcut_conv`` etc.) — the
     ``reference_*_from_variables`` helpers rewrite them to the notebook's paths.
+
+    ``num_batches_tracked``: our state does not track torch's BN step counter
+    (it only matters under ``momentum=None`` cumulative averaging, which the
+    reference never uses — its BNs run the default momentum=0.1). If you plan
+    to CONTINUE TRAINING the export in torch with ``momentum=None``, pass a
+    large count here: with the default 0, torch's first update weights the new
+    batch 1/(0+1)=1.0 and overwrites the imported running statistics.
     """
     params: Dict[Tuple[str, ...], np.ndarray] = {}
     stats: Dict[Tuple[str, ...], np.ndarray] = {}
@@ -269,7 +277,8 @@ def variables_to_torch_state_dict(
             raise ValueError(f"unhandled batch_stats leaf {leaf!r} at {name}")
         out[f"{name}.{key}"] = val
     for mod in bn_mods:
-        out[".".join(mod) + ".num_batches_tracked"] = np.asarray(0, np.int64)
+        out[".".join(mod) + ".num_batches_tracked"] = np.asarray(
+            num_batches_tracked, np.int64)
     for path, val in spec.items():
         mod, leaf = path[:-1], path[-1]
         name = ".".join(mod)
