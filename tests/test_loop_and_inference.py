@@ -183,6 +183,39 @@ class TestExperimentApi:
             adversarial_loss_weight=0.0)
         assert int(jax.device_get(state.step)) > 0
 
+    def test_experiment_neptune_knob(self, tmp_path, monkeypatch):
+        """The reference's use_neptune path (README.md:768-773, 842-857): the 7
+        channels stream to the injected run object and run.stop() fires."""
+        monkeypatch.chdir(tmp_path)
+
+        class FakeChannel(list):
+            append = list.append
+
+        class FakeRun(dict):
+            def __init__(self):
+                super().__init__()
+                self.stopped = False
+
+            def __getitem__(self, k):
+                return self.setdefault(k, FakeChannel())
+
+            def stop(self):
+                self.stopped = True
+
+        run = FakeRun()
+        experiment(
+            network_depth=1, network_length=1, feature_size=8,
+            discriminator_params=dict(
+                num_stride_conv1=1, num_features_conv1=8, num_blocks=[1],
+                num_strides_res=[2], num_features_res=[16]),
+            n_epochs=1, image_size=16, batch_size=4, synthetic_data=True,
+            neptune_run=run)
+        assert run.stopped  # README.md:856-857
+        for ch in ("D loss", "G loss", "Recon loss", "KL", "D Real loss",
+                   "D Fake loss", "adversarial loss"):
+            # one append per batch: 1200 synthetic images / batch 4 = 300
+            assert len(run[ch]) == 300, ch
+
 
 class TestResume:
     def test_resume_continues_from_checkpoint(self, tmp_path):

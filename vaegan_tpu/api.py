@@ -42,10 +42,16 @@ def experiment(
     seed: int = 0,
     config_overrides: Optional[Config] = None,
     loader=None,
+    neptune_run=None,
 ) -> Tuple[TrainState, Config]:
     """Train a VAE-GAN with the reference's experiment surface; returns
     (state, config). ``adversarial_loss_weight=0`` reproduces the plain-VAE run
-    (README.md:1283-1306)."""
+    (README.md:1283-1306).
+
+    ``neptune_run``: the reference's ``use_neptune`` knob (README.md:768-773,
+    842-849) — pass a ``neptune.init_run``-style object and the 7 reference
+    channels stream to it via :class:`~vaegan_tpu.utils.metrics.NeptuneSink`
+    (``run.stop()`` is called at the end, README.md:856-857)."""
     if config_overrides is not None:
         cfg = config_overrides
     else:
@@ -70,7 +76,15 @@ def experiment(
                 synthetic=synthetic_data),
             train=base.train.replace(n_epochs=n_epochs, n_critics=n_critics, seed=seed),
         )
-    state, _ = train(cfg, loader=loader)
+    logger = None
+    if neptune_run is not None:
+        from vaegan_tpu.utils.metrics import MetricsLogger, NeptuneSink, StdoutSink
+
+        logger = MetricsLogger(sinks=[StdoutSink(), NeptuneSink(neptune_run)],
+                               flush_every=cfg.train.log_every)
+    state, logger = train(cfg, loader=loader, logger=logger)
+    if neptune_run is not None:
+        logger.close()  # flush + run.stop(), README.md:856-857
     return state, cfg
 
 
