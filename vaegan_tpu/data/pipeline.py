@@ -173,10 +173,20 @@ class CachedDataset:
             return
         meta = self._meta_path(cache_path)
         if not meta.exists():
-            raise ValueError(
-                f"cache {cache_path} has no fingerprint sidecar ({meta.name}) — "
-                "it cannot be verified against the source files; delete the "
-                "cache to rebuild")
+            # pre-sidecar cache (built before fingerprinting existed): it was
+            # accepted silently then, so adopt it — write today's fingerprint so
+            # any FUTURE source change is caught — rather than hard-failing the
+            # upgrade. A cache that is ALREADY stale at adoption time is
+            # indistinguishable from a fresh one (that was the pre-sidecar
+            # behavior too); delete the cache to force a rebuild.
+            import warnings
+            warnings.warn(
+                f"cache {cache_path} has no fingerprint sidecar ({meta.name}); "
+                "adopting it and writing the current source fingerprint — "
+                "delete the cache file to force a rebuild instead",
+                stacklevel=3)
+            meta.write_text(fp)
+            return
         if meta.read_text() != fp:
             raise ValueError(
                 f"cache {cache_path} was built from different source files "

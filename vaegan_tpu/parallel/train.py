@@ -64,7 +64,8 @@ def train_data_parallel(
                             process_index=jax.process_index(),
                             process_count=jax.process_count())
 
-    state = create_train_state(cfg, jax.random.key(cfg.train.seed))
+    state = create_train_state(
+        cfg, jax.random.key(cfg.train.seed, impl=cfg.train.rng_impl))
     spec = state_shardings(state, mesh, model_axis=p.model_axis)
     # shard_state (not a bare device_put): in a multi-process run device_put
     # cannot target non-addressable devices; shard_state assembles global

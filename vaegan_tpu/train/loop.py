@@ -87,7 +87,13 @@ def train(
     tcfg = cfg.train
     key = jax.random.key(tcfg.seed, impl=tcfg.rng_impl)
     if loader is None:
-        loader = make_loader(cfg.data, seed=tcfg.seed)
+        dcfg = cfg.data
+        if tcfg.grad_accum > 1 and not dcfg.drop_last:
+            # a partial tail batch cannot be split into grad_accum microbatches
+            # (the accum step requires batch % grad_accum == 0); drop it, like
+            # the multi-process loader already does
+            dcfg = dcfg.replace(drop_last=True)
+        loader = make_loader(dcfg, seed=tcfg.seed)
     if state is None:
         state = create_train_state(cfg, key)
     if logger is None:
