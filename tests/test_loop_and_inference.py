@@ -104,6 +104,41 @@ class TestLoop:
         assert int(jax.device_get(state2.step)) == 3  # no overshoot
         assert [m for m in logger2.history if "_wall_s" not in m] == []
 
+    def test_grad_accum_drops_partial_tail_batch(self, tmp_path):
+        """With grad_accum > 1 the default loader forces drop_last: a partial
+        tail batch (18 % 4 = 2, not divisible by grad_accum 2) would otherwise
+        abort training at the end of epoch 1 (ADVICE r2)."""
+        cfg = tiny_cfg(tmp_path, grad_accum=2)
+        cfg = cfg.replace(data=cfg.data.replace(synthetic_size=18, batch_size=4))
+        state, logger = train(cfg)
+        assert int(jax.device_get(state.step)) == 4  # tail dropped: 4 full batches
+        h = [m for m in logger.history if "_wall_s" not in m]
+        assert len(h) == 4 and all(np.isfinite(v) for m in h for v in m.values())
+
+    def test_resume_ignores_interrupted_checkpoint_tmp(self, tmp_path):
+        """A crash DURING an orbax save leaves a ``<step>.orbax-checkpoint-tmp``
+        dir next to the last complete checkpoint; resume must restore the
+        complete one and train to the budget (suite-enforced version of the
+        round-2 kill-mid-save soak, BENCH_NOTES.md)."""
+        ckdir = tmp_path / "ck"
+        cfg = tiny_cfg(tmp_path, max_steps=2, checkpoint_dir=str(ckdir),
+                       checkpoint_every=1)
+        cfg = cfg.replace(train=cfg.train.replace(n_epochs=5, sample_interval=0))
+        train(cfg)
+        # fabricate an interrupted step-3 save: a tmp dir with partial content
+        tmp_ck = ckdir / "3.orbax-checkpoint-tmp"
+        tmp_ck.mkdir()
+        (tmp_ck / "manifest.ocdbt").write_bytes(b"\x00partial")
+        from vaegan_tpu.checkpoint import CheckpointManager
+        mgr = CheckpointManager(str(ckdir))
+        assert mgr.latest_step() == 2  # the tmp dir is not a restorable step
+        mgr.close()
+        cfg2 = cfg.replace(train=cfg.train.replace(max_steps=4))
+        state, logger = train(cfg2, resume=True)
+        assert int(jax.device_get(state.step)) == 4
+        executed = [m for m in logger.history if "_wall_s" not in m]
+        assert len(executed) == 2  # resumed from 2, ran exactly 2 more
+
     def test_n_critics_scheduling(self, tmp_path):
         cfg = tiny_cfg(tmp_path, n_critics=2)
         state, logger = train(cfg)
