@@ -48,6 +48,43 @@ class TestSearchHelpers:
         assert list(cfg.discriminator.num_features_res) == p["num_features_res"]
         assert cfg.optim.lr == p["lr"]
 
+    def test_registry_concurrent_appends_lose_nothing(self, tmp_path):
+        """Two searches sharing a registry (the natural multi-chip-host usage)
+        must not drop each other's trials: register_in_json serializes its
+        read-modify-write through an flock (VERDICT r2 weak #6)."""
+        from concurrent.futures import ProcessPoolExecutor
+        path = str(tmp_path / "params.json")
+        workers, per = 4, 25
+        with ProcessPoolExecutor(max_workers=workers) as ex:
+            list(ex.map(_append_entries, [(path, w, per) for w in range(workers)]))
+        registry = json.load(open(path))
+        ids = [e["id"] for e in registry]
+        assert len(ids) == workers * per
+        assert len(set(ids)) == workers * per
+
+
+def _append_entries(args):
+    path, worker, n = args
+    from vaegan_tpu.search import register_in_json
+    for i in range(n):
+        register_in_json({"id": f"{worker}-{i}"}, path)
+
+
+class TestConfigValidation:
+    def test_critic_batching_typo_fails_loudly(self):
+        from vaegan_tpu.config import TrainConfig
+        with pytest.raises(ValueError, match="critic_batching"):
+            TrainConfig(critic_batching="concat2")
+        for ok in ("separate", "concat", "concat3"):
+            TrainConfig(critic_batching=ok)
+
+    def test_use_pallas_typo_fails_loudly(self):
+        from vaegan_tpu.config import TrainConfig
+        with pytest.raises(ValueError, match="use_pallas"):
+            TrainConfig(use_pallas="loss")
+        for ok in ("off", "losses", "all", True, False, None):
+            TrainConfig(use_pallas=ok)
+
 
 class TestRandomSearchRun:
     def test_one_trial_end_to_end(self, tmp_path, monkeypatch):

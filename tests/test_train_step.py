@@ -54,6 +54,39 @@ class TestTwoOptStep:
         for leaf in jax.tree.leaves(new_state.d_params):
             assert float(jnp.max(jnp.abs(leaf))) <= 0.01 + 1e-7
 
+    def test_ttur_lr_split(self):
+        """lr_g / lr_d override the shared lr per network (TTUR); defaults
+        (None) reproduce the single-lr behavior exactly."""
+        cfg = tiny_config()
+        base_state = create_train_state(cfg, jax.random.key(0))
+        b = batch_of(cfg, jax.random.key(1))
+
+        # defaults: lr_g=lr_d=None == shared lr (bitwise same step)
+        cfg_same = cfg.replace(optim=cfg.optim.replace(lr_g=cfg.optim.lr,
+                                                       lr_d=cfg.optim.lr))
+        s1, _ = jax.jit(make_train_step(cfg, do_g_update=True))(
+            base_state, b, jax.random.key(2))
+        s2, _ = jax.jit(make_train_step(cfg_same, do_g_update=True))(
+            create_train_state(cfg_same, jax.random.key(0)), b, jax.random.key(2))
+        np.testing.assert_array_equal(np.asarray(jax.tree.leaves(s1.g_params)[0]),
+                                      np.asarray(jax.tree.leaves(s2.g_params)[0]))
+
+        # lr_d=tiny: critic barely moves while the generator moves normally
+        cfg_split = cfg.replace(
+            optim=cfg.optim.replace(lr_d=1e-12, weight_decay=0.0),
+            loss=cfg.loss.replace(clip_value=None))
+        s3, _ = jax.jit(make_train_step(cfg_split, do_g_update=True))(
+            create_train_state(cfg_split, jax.random.key(0)), b, jax.random.key(2))
+        s0 = create_train_state(cfg_split, jax.random.key(0))
+        d_delta = max(float(jnp.max(jnp.abs(a - b_)))
+                      for a, b_ in zip(jax.tree.leaves(s3.d_params),
+                                       jax.tree.leaves(s0.d_params)))
+        g_delta = max(float(jnp.max(jnp.abs(a - b_)))
+                      for a, b_ in zip(jax.tree.leaves(s3.g_params),
+                                       jax.tree.leaves(s0.g_params)))
+        assert d_delta < 1e-8, d_delta
+        assert g_delta > 1e-5, g_delta
+
     def test_critic_only_step_keeps_stale_g_metrics(self):
         cfg = tiny_config()
         state = create_train_state(cfg, jax.random.key(0))

@@ -22,7 +22,8 @@ def pallas_mode(v) -> str:
         return "all"
     if v is False or v is None:
         return "off"
-    assert v in ("off", "losses", "all"), v
+    if v not in ("off", "losses", "all"):
+        raise ValueError(f"use_pallas must be 'off'|'losses'|'all' (or bool), got {v!r}")
     return v
 
 
@@ -116,6 +117,12 @@ class OptimConfig(_Replaceable):
     scheme: str = "two"                # "two" (notebook) | "three" (paper)
     optimizer: str = "rmsprop"         # torch-semantics rmsprop | "adam"
     lr: float = 3e-4
+    # per-network learning rates (TTUR-style split): None = use ``lr``. The
+    # reference's search schema already envisaged a lr_generator /
+    # lr_discriminator split (README.md:1048-1059) though its live code never
+    # accepted one; the large-batch recipe needs it (see preset vaegan_256_dp).
+    lr_g: Optional[float] = None
+    lr_d: Optional[float] = None
     weight_decay: float = 1e-5
     rms_decay: float = 0.99            # torch RMSprop alpha
     eps: float = 1e-8
@@ -186,9 +193,18 @@ class TrainConfig(_Replaceable):
     # critic real/fake scoring: "separate" = one apply per batch, torch-reference
     # BN semantics (each apply normalizes with its own batch statistics,
     # README.md:792-793); "concat" = single apply over concat(real, fake) — fewer,
-    # larger kernels (faster), BN stats over the mixed batch (a documented
-    # deviation many GAN implementations use)
+    # larger kernels, BN stats over the mixed batch (a documented deviation many
+    # GAN implementations use); "concat3" = also fold the GP interpolates into
+    # the same apply (measured −38% on TPU, BENCH_NOTES.md — kept as an
+    # experiment knob)
     critic_batching: str = "separate"
+
+    def __post_init__(self):
+        if self.critic_batching not in ("separate", "concat", "concat3"):
+            raise ValueError(
+                f"critic_batching must be one of 'separate'|'concat'|'concat3', "
+                f"got {self.critic_batching!r}")
+        pallas_mode(self.use_pallas)  # asserts on invalid values
 
 
 @dataclass(frozen=True)

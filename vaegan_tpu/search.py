@@ -84,12 +84,29 @@ def _load_registry(results_path) -> List[Dict[str, Any]]:
 
 
 def register_in_json(entry: Dict[str, Any], results_path) -> None:
+    """Append ``entry`` to the JSON registry, safely under concurrency.
+
+    The read-modify-write is serialized through an ``flock`` on a sidecar lock
+    file (the registry itself is replaced atomically, so a reader never sees a
+    torn file): two searches running against the same registry — the natural
+    way to use a multi-chip host — cannot silently drop each other's trials.
+    The reference's ``register_in_json`` (README.md:1158-1168) had no locking
+    (and never ran)."""
+    import fcntl
+
     p = Path(results_path)
     p.parent.mkdir(parents=True, exist_ok=True)
-    registry = _load_registry(p)
-    registry.append(entry)
-    with open(p, "w") as f:
-        json.dump(registry, f, indent=2)
+    with open(str(p) + ".lock", "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            registry = _load_registry(p)
+            registry.append(entry)
+            tmp = p.with_suffix(f".tmp{os.getpid()}")
+            with open(tmp, "w") as f:
+                json.dump(registry, f, indent=2)
+            os.replace(tmp, p)
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)
 
 
 def params_to_config(base: Config, params: Dict[str, Any]) -> Config:

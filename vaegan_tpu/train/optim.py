@@ -48,11 +48,15 @@ def torch_rmsprop(
     return optax.GradientTransformation(init_fn, update_fn)
 
 
-def build_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
+def build_optimizer(cfg: OptimConfig, role: str = None) -> optax.GradientTransformation:
+    """``role``: "g" / "d" selects the per-network learning rate
+    (``cfg.lr_g`` / ``cfg.lr_d``, TTUR split) when set; None / unset roles use
+    ``cfg.lr`` — the reference's single shared lr (README.md:918-919)."""
+    lr = {"g": cfg.lr_g, "d": cfg.lr_d}.get(role) or cfg.lr
     if cfg.optimizer == "rmsprop":
-        return torch_rmsprop(cfg.lr, cfg.rms_decay, cfg.eps, cfg.weight_decay)
+        return torch_rmsprop(lr, cfg.rms_decay, cfg.eps, cfg.weight_decay)
     if cfg.optimizer == "adam":
-        tx = optax.adam(cfg.lr, b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.eps)
+        tx = optax.adam(lr, b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.eps)
         if cfg.weight_decay:
             tx = optax.chain(optax.add_decayed_weights(cfg.weight_decay), tx)
         return tx

@@ -61,10 +61,12 @@ def _gen_forward_fn(cfg, gen):
     non-VAE configs get zero mu/log_var so the KL is identically 0
     (README.md:643-653)."""
 
-    def gen_forward(g_params, g_stats, batch, rngs, eps):
+    def gen_forward(g_params, g_stats, batch, rngs, eps, masks=None):
+        variables = {"params": g_params, "batch_stats": g_stats}
+        if masks is not None:  # parity harness: replay torch dropout masks
+            variables["masks"] = masks
         out, mut = gen.apply(
-            {"params": g_params, "batch_stats": g_stats},
-            batch, train=True, rngs=rngs, mutable=["batch_stats"], eps=eps)
+            variables, batch, train=True, rngs=rngs, mutable=["batch_stats"], eps=eps)
         if cfg.generator.is_vae:
             r, m, lv = out
         else:
@@ -76,20 +78,26 @@ def _gen_forward_fn(cfg, gen):
 
 
 def _critic_loss(cfg, disc, d_params, d_stats, d_spec, batch, gen_imgs_sg,
-                 keys, alpha_inject):
+                 keys, alpha_inject, mask_trees=(None, None, None)):
     """D-half loss body (README.md:792-798): critic on real, on detached fakes,
     gradient penalty on the interpolates; every forward threads BN stats +
     spectral u/v like torch train-mode forwards.
 
-    ``keys`` = (k_real, k_fake, k_interp, k_alpha)."""
+    ``keys`` = (k_real, k_fake, k_interp, k_alpha); ``mask_trees`` = optional
+    injected dropout-mask collections for the (real, fake, interp) forwards
+    (parity harness; "separate" batching only)."""
     lcfg = cfg.loss
     use_gp = lcfg.adversarial == "wgan" and lcfg.lambda_gp > 0.0
     k_dreal, k_dfake, k_dinterp, k_alpha = keys
+    m_real, m_fake, m_interp = mask_trees
     dstate = {"batch_stats": d_stats, "spectral": d_spec}
 
-    def d_apply(x, st, k):
+    def d_apply(x, st, k, m=None):
+        v = {"params": d_params, **st}
+        if m is not None:
+            v["masks"] = m
         logits, mut = disc.apply(
-            {"params": d_params, **st}, x, train=True,
+            v, x, train=True,
             rngs={"dropout": k}, mutable=["batch_stats", "spectral"])
         return logits, {"batch_stats": mut["batch_stats"], "spectral": mut["spectral"]}
 
@@ -133,8 +141,8 @@ def _critic_loss(cfg, disc, d_params, d_stats, d_spec, batch, gen_imgs_sg,
             dstate, k_dreal)
         real_logits, fake_logits = both[:b], both[b:]
     else:
-        real_logits, st = d_apply(batch, dstate, k_dreal)
-        fake_logits, st = d_apply(gen_imgs_sg, st, k_dfake)
+        real_logits, st = d_apply(batch, dstate, k_dreal, m_real)
+        fake_logits, st = d_apply(gen_imgs_sg, st, k_dfake, m_fake)
 
     if lcfg.adversarial == "bce":
         real_loss = losses.bce_with_logits(real_logits, 1.0)
@@ -144,7 +152,7 @@ def _critic_loss(cfg, disc, d_params, d_stats, d_spec, batch, gen_imgs_sg,
 
     if use_gp:
         gp, st = losses.gradient_penalty(
-            lambda x, st=st: d_apply(x, st, k_dinterp),
+            lambda x, st=st: d_apply(x, st, k_dinterp, m_interp),
             batch, gen_imgs_sg, k_alpha, alpha=alpha_inject)
     else:
         gp = jnp.zeros((), jnp.float32)
@@ -153,7 +161,7 @@ def _critic_loss(cfg, disc, d_params, d_stats, d_spec, batch, gen_imgs_sg,
 
 
 def _gen_losses(cfg, disc, d_params, d_stats, d_spec, batch, g_imgs, mu2, lv2,
-                k_dgen, k_dfeat, kl_scale=1.0):
+                k_dgen, k_dfeat, kl_scale=1.0, d_masks=None):
     """G-half loss body (README.md:812-831). The reference executes
     discriminator(gen_imgs) even at adversarial weight 0 (its plain-VAE run,
     README.md:816 + 1283) — the forward still advances critic BN stats and
@@ -168,9 +176,11 @@ def _gen_losses(cfg, disc, d_params, d_stats, d_spec, batch, g_imgs, mu2, lv2,
         adv = jnp.zeros((), jnp.float32)
         d_mut2 = {"batch_stats": d_stats, "spectral": d_spec}
     else:
+        v = {"params": d_params, "batch_stats": d_stats, "spectral": d_spec}
+        if d_masks is not None:  # parity harness: replay torch dropout masks
+            v["masks"] = d_masks
         out, mut = disc.apply(
-            {"params": d_params, "batch_stats": d_stats, "spectral": d_spec},
-            g_imgs, train=True, rngs={"dropout": k_dgen},
+            v, g_imgs, train=True, rngs={"dropout": k_dgen},
             mutable=["batch_stats", "spectral"],
             return_features=want_feats)
         logits, feats = out if want_feats else (out, None)
@@ -213,15 +223,19 @@ def make_train_step(cfg: Config, do_g_update: bool, axis_name=None,
 
     ``inject`` (parity harness only) overrides the step's random draws with
     externally supplied tensors: ``{"eps": NHWC reparam noise, "alpha": (B,1,1,1)
-    GP mixing factors}`` — used to replay the reference's torch/numpy draws so one
-    step is comparable number-for-number (tests/test_reference_parity.py).
+    GP mixing factors}`` plus optional dropout-mask collections ``g_masks`` (the
+    generator forward) and ``d_masks_real`` / ``d_masks_fake`` / ``d_masks_interp``
+    / ``d_masks_gen`` (the four critic forwards, in the reference's event order) —
+    used to replay the reference's torch/numpy draws so one step is comparable
+    number-for-number at the trained dropout p=0.5 (tests/test_reference_parity.py;
+    build the collections with interop.reference_dropout_masks_to_collection).
     """
     if cfg.train.grad_accum > 1:
         return make_accum_train_step(cfg, do_g_update, axis_name, inject)
     inject = inject or {}
     gen, disc = build_models(cfg, axis_name)
-    tx_g = build_optimizer(cfg.optim)
-    tx_d = build_optimizer(cfg.optim)
+    tx_g = build_optimizer(cfg.optim, "g")
+    tx_d = build_optimizer(cfg.optim, "d")
     lcfg = cfg.loss
     gen_forward = _gen_forward_fn(cfg, gen)
 
@@ -241,7 +255,7 @@ def make_train_step(cfg: Config, do_g_update: bool, axis_name=None,
         # tensor with its autograd graph intact; this is the JAX equivalent).
         def fwd(g_params):
             return gen_forward(g_params, state.g_stats, batch, g_rngs,
-                               inject.get("eps"))
+                               inject.get("eps"), inject.get("g_masks"))
 
         if do_g_update:
             (gen_imgs, mu, log_var), gen_vjp, new_g_stats = jax.vjp(
@@ -255,7 +269,9 @@ def make_train_step(cfg: Config, do_g_update: bool, axis_name=None,
             return _critic_loss(
                 cfg, disc, d_params, state.d_stats, state.d_spectral, batch,
                 gen_imgs_sg, (k_dreal, k_dfake, k_dinterp, k_alpha),
-                inject.get("alpha"))
+                inject.get("alpha"),
+                (inject.get("d_masks_real"), inject.get("d_masks_fake"),
+                 inject.get("d_masks_interp")))
 
         (d_loss, (d_st, real_loss, fake_loss, gp)), d_grads = jax.value_and_grad(
             d_loss_fn, has_aux=True)(state.d_params)
@@ -278,7 +294,8 @@ def make_train_step(cfg: Config, do_g_update: bool, axis_name=None,
                 g_imgs, mu2, lv2 = gen_outputs
                 return _gen_losses(
                     cfg, disc, new_d_params, new_d_stats, new_d_spectral, batch,
-                    g_imgs, mu2, lv2, k_dgen, k_dfeat)
+                    g_imgs, mu2, lv2, k_dgen, k_dfeat,
+                    d_masks=inject.get("d_masks_gen"))
 
             (g_loss, (d_mut2, adv, recon, kl)), out_cts = jax.value_and_grad(
                 g_loss_fn, has_aux=True)((gen_imgs, mu, log_var))
@@ -335,8 +352,8 @@ def make_accum_train_step(cfg: Config, do_g_update: bool, axis_name=None,
     inject = inject or {}
     k = int(cfg.train.grad_accum)
     gen, disc = build_models(cfg, axis_name)
-    tx_g = build_optimizer(cfg.optim)
-    tx_d = build_optimizer(cfg.optim)
+    tx_g = build_optimizer(cfg.optim, "g")
+    tx_d = build_optimizer(cfg.optim, "d")
     lcfg = cfg.loss
     gen_forward = _gen_forward_fn(cfg, gen)
     kl_scale = float(k) if lcfg.kl_reduction == "sum" else 1.0
@@ -480,7 +497,8 @@ def make_paper_train_step(cfg: Config, axis_name=None,
                          "make_train_step for plain-AE configurations")
     inject = inject or {}
     gen, disc = build_models(cfg, axis_name)
-    tx = build_optimizer(cfg.optim)
+    tx_g = build_optimizer(cfg.optim, "g")   # enc + dec (TTUR split optional)
+    tx_d = build_optimizer(cfg.optim, "d")
     lcfg, gamma = cfg.loss, cfg.optim.gamma
     k_accum = int(cfg.train.grad_accum)
     if debug_grads and k_accum > 1:
@@ -533,9 +551,23 @@ def make_paper_train_step(cfg: Config, axis_name=None,
                 return logits, feats, {"batch_stats": mut["batch_stats"],
                                        "spectral": mut["spectral"]}
 
-            lr_, fr_, st = d_apply(batch, dstate, k_dr)
-            lt_, ft_, st = d_apply(x_tilde, st, k_df)
-            lp_, _, st = d_apply(x_p, st, k_dp)
+            if cfg.train.critic_batching in ("concat", "concat3"):
+                # one critic apply over concat(real, x_tilde, x_p): 3x fewer,
+                # 3x larger critic kernels. No GP here, so none of the concat3
+                # double-backprop widening the two-optimizer step measured
+                # (BENCH_NOTES); BN statistics mix the three sub-batches — the
+                # same documented deviation as the two-optimizer "concat" mode.
+                b = batch.shape[0]
+                all3, feats3, st = d_apply(
+                    jnp.concatenate([batch, x_tilde.astype(batch.dtype),
+                                     x_p.astype(batch.dtype)], axis=0),
+                    dstate, k_dr)
+                lr_, lt_, lp_ = all3[:b], all3[b:2 * b], all3[2 * b:]
+                fr_, ft_ = feats3[:b], feats3[b:2 * b]
+            else:
+                lr_, fr_, st = d_apply(batch, dstate, k_dr)
+                lt_, ft_, st = d_apply(x_tilde, st, k_df)
+                lp_, _, st = d_apply(x_p, st, k_dp)
 
             l_prior = losses.kl_divergence(mu, lv, lcfg.kl_reduction)
             l_llike = losses.feature_matching_loss(fr_, ft_)
@@ -569,7 +601,7 @@ def make_paper_train_step(cfg: Config, axis_name=None,
 
     if k_accum > 1:
         return _make_paper_accum_step(
-            cfg, axis_name, tx, lcfg, split_g, merge_g, make_forward,
+            cfg, axis_name, (tx_g, tx_d), lcfg, split_g, merge_g, make_forward,
             make_combined, _clip_params, inject)
 
     def step(state: TrainState, batch: jax.Array, key: jax.Array) -> Tuple[TrainState, Metrics]:
@@ -612,9 +644,9 @@ def make_paper_train_step(cfg: Config, axis_name=None,
             }
 
         new_g_stats, d_st, l_prior, l_llike, l_gan, bce_real, bce_fake = aux
-        enc_up, opt_enc = tx.update(enc_g, state.opt_g["enc"], enc0)
-        dec_up, opt_dec = tx.update(dec_g, state.opt_g["dec"], dec0)
-        dis_up, opt_d = tx.update(dis_g, state.opt_d, state.d_params)
+        enc_up, opt_enc = tx_g.update(enc_g, state.opt_g["enc"], enc0)
+        dec_up, opt_dec = tx_g.update(dec_g, state.opt_g["dec"], dec0)
+        dis_up, opt_d = tx_d.update(dis_g, state.opt_d, state.d_params)
         new_enc = optax.apply_updates(enc0, enc_up)
         new_dec = optax.apply_updates(dec0, dec_up)
         new_d = optax.apply_updates(state.d_params, dis_up)
@@ -641,7 +673,7 @@ def make_paper_train_step(cfg: Config, axis_name=None,
     return step
 
 
-def _make_paper_accum_step(cfg, axis_name, tx, lcfg, split_g, merge_g,
+def _make_paper_accum_step(cfg, axis_name, txs, lcfg, split_g, merge_g,
                            make_forward, make_combined, clip_params,
                            inject=None):
     """Gradient-accumulation variant of the Algorithm-1 step. Unlike the
@@ -654,6 +686,7 @@ def _make_paper_accum_step(cfg, axis_name, tx, lcfg, split_g, merge_g,
     rescaled by ``grad_accum`` inside the microbatch loss so the averaged
     gradients reproduce the full-batch sum."""
     inject = inject or {}
+    tx_g, tx_d = txs
     k = int(cfg.train.grad_accum)
     kl_scale = float(k) if lcfg.kl_reduction == "sum" else 1.0
 
@@ -713,9 +746,9 @@ def _make_paper_accum_step(cfg, axis_name, tx, lcfg, split_g, merge_g,
         if axis_name is not None:
             enc_g, dec_g, dis_g = jax.lax.pmean((enc_g, dec_g, dis_g), axis_name)
 
-        enc_up, opt_enc = tx.update(enc_g, state.opt_g["enc"], enc0)
-        dec_up, opt_dec = tx.update(dec_g, state.opt_g["dec"], dec0)
-        dis_up, opt_d = tx.update(dis_g, state.opt_d, state.d_params)
+        enc_up, opt_enc = tx_g.update(enc_g, state.opt_g["enc"], enc0)
+        dec_up, opt_dec = tx_g.update(dec_g, state.opt_g["dec"], dec0)
+        dis_up, opt_d = tx_d.update(dis_g, state.opt_d, state.d_params)
         new_enc = optax.apply_updates(enc0, enc_up)
         new_dec = optax.apply_updates(dec0, dec_up)
         new_d = optax.apply_updates(state.d_params, dis_up)
