@@ -183,6 +183,43 @@ def _zero_dropout(module):
             m.p = 0.0
 
 
+class _RecDropout(torch.nn.Module):
+    """Drop-in replacement for nn.Dropout / nn.Dropout2d that records the exact
+    keep-mask it applied, as ``(module_path, mask)`` in a shared ordered log.
+    Semantics identical to torch's inverted dropout (x * mask / keep); only the
+    RNG stream differs, which is irrelevant because every draw is captured."""
+
+    def __init__(self, p, channelwise, name, log):
+        super().__init__()
+        self.p = float(p)
+        self.channelwise = channelwise
+        self._name = name
+        self._log = log
+
+    def forward(self, x):
+        if not self.training or self.p == 0.0:
+            return x
+        keep = 1.0 - self.p
+        shape = (x.shape[0], x.shape[1], 1, 1) if self.channelwise else x.shape
+        mask = torch.bernoulli(torch.full(shape, keep))
+        self._log.append((self._name, mask.detach().clone()))
+        return x * mask / keep
+
+
+def _record_dropout(module, log):
+    """Swap every dropout module for a recording one; returns the site count
+    (= masks consumed per forward — each site fires exactly once)."""
+    n = 0
+    for name, m in list(module.named_modules()):
+        for attr, child in list(m.named_children()):
+            if isinstance(child, (torch.nn.Dropout, torch.nn.Dropout2d)):
+                path = f"{name}.{attr}" if name else attr
+                setattr(m, attr, _RecDropout(
+                    child.p, isinstance(child, torch.nn.Dropout2d), path, log))
+                n += 1
+    return n
+
+
 class _GradRecordingRMSprop(torch.optim.RMSprop):
     """Records each parameter's raw gradient at step() time (pre-weight-decay).
 
@@ -400,22 +437,31 @@ class TestReferenceRoundTrip:
 
 class TestReferenceOneTrainStep:
     """ONE step of the reference's own train_network_wgan (README.md:775-834) vs
-    make_train_step, dropout p=0, torch eps/alpha injected. Catches event-order bugs
-    (BN-stat & spectral-u/v threading across the 4 critic forwards, update-then-clamp,
-    G scored by the UPDATED critic on the PRE-update generator output) that no
-    isolated-module parity test can."""
+    make_train_step, torch eps/alpha injected — run BOTH dropout-off and at the
+    reference's trained p=0.5 (README.md:129/141), the latter with every torch
+    dropout mask captured per site and replayed through the step's ``masks``
+    collections. Catches event-order bugs (BN-stat & spectral-u/v threading
+    across the 4 critic forwards, dropout mask routing per forward,
+    update-then-clamp, G scored by the UPDATED critic on the PRE-update
+    generator output) that no isolated-module parity test can."""
 
     LR, W_ADV, W_REC, W_KL, LAMBDA_GP, CLIP = 3e-4, 1.0, 10.0, 0.1, 10.0, 0.01
 
-    def _torch_side(self, ns, rec, imgs, tmp_path):
+    def _torch_side(self, ns, rec, imgs, tmp_path, dropout_active=False):
         torch.manual_seed(11)
         np.random.seed(13)
         gen = _build_ref_generator(ns, depth=1, length=1, feature_size=4)
         disc = _build_ref_discriminator(
             ns, num_stride_conv1=2, num_features_conv1=4, num_blocks=[1, 1],
             num_strides_res=[2, 2], num_features_res=[8, 8])
-        _zero_dropout(gen)
-        _zero_dropout(disc)
+        drop_log = []
+        if dropout_active:
+            self.n_gen_sites = _record_dropout(gen, drop_log)
+            self.n_disc_sites = _record_dropout(disc, drop_log)
+        else:
+            _zero_dropout(gen)
+            _zero_dropout(disc)
+        self.drop_log = drop_log
         gen_sd0 = {k: v.detach().clone() for k, v in gen.state_dict().items()}
         disc_sd0 = {k: v.detach().clone() for k, v in disc.state_dict().items()}
 
@@ -473,30 +519,50 @@ class TestReferenceOneTrainStep:
             g_metrics={"g_loss": zero, "adv_loss": zero, "recon_loss": zero, "kl": zero},
         )
 
-    def _cfg(self):
+    def _cfg(self, p=0.0):
         return Config(
-            generator=GeneratorConfig(depth=1, length=1, feature_size=4, dropout_prob=0.0),
+            generator=GeneratorConfig(depth=1, length=1, feature_size=4, dropout_prob=p),
             discriminator=DiscriminatorConfig(
                 num_stride_conv1=2, num_features_conv1=4, num_blocks=(1, 1),
-                num_strides_res=(2, 2), num_features_res=(8, 8), dropout_prob=0.0,
+                num_strides_res=(2, 2), num_features_res=(8, 8), dropout_prob=p,
                 pool_size=4, linear_widths=(1024, 512, 256)),
             data=DataConfig(image_size=256, batch_size=2),
             train=TrainConfig(use_pallas="off", critic_batching="separate"),
         )
 
-    def test_one_step(self, ref, tmp_path):
+    def _mask_inject(self):
+        """Convert the recorded torch dropout masks into the step's injected
+        ``masks`` collections, segmented by the reference's event order:
+        gen forward, then D(real), D(fake), D(interp), D(gen_imgs)."""
+        log, n_g, n_d = self.drop_log, self.n_gen_sites, self.n_disc_sites
+        assert len(log) == n_g + 4 * n_d, (len(log), n_g, n_d)
+        g_masks = interop.reference_dropout_masks_to_collection(log[:n_g], "generator")
+        d = [interop.reference_dropout_masks_to_collection(
+                 log[n_g + i * n_d: n_g + (i + 1) * n_d], "discriminator")
+             for i in range(4)]
+        to_j = lambda t: jax.tree.map(jnp.asarray, t)
+        return {"g_masks": to_j(g_masks), "d_masks_real": to_j(d[0]),
+                "d_masks_fake": to_j(d[1]), "d_masks_interp": to_j(d[2]),
+                "d_masks_gen": to_j(d[3])}
+
+    @pytest.mark.parametrize("dropout_active", [False, True],
+                             ids=["dropout_off", "dropout_p05"])
+    def test_one_step(self, ref, tmp_path, dropout_active):
         ns, rec = ref
         torch.manual_seed(5)
         imgs = torch.rand(2, 1, 256, 256)
         gen, disc, gen_sd0, disc_sd0, expected, g_grads, d_grads = (
-            self._torch_side(ns, rec, imgs, tmp_path))
+            self._torch_side(ns, rec, imgs, tmp_path,
+                             dropout_active=dropout_active))
 
-        cfg = self._cfg()
+        cfg = self._cfg(p=0.5 if dropout_active else 0.0)
         state = self._our_state(cfg, gen_sd0, disc_sd0)
         inject = {
             "eps": t2j_nhwc(rec.eps[0]),
             "alpha": jnp.asarray(np.float32(rec.alpha[0])),
         }
+        if dropout_active:
+            inject.update(self._mask_inject())
         step = make_train_step(cfg, do_g_update=True, inject=inject)
         new_state, metrics = jax.jit(step)(state, t2j_nhwc(imgs), jax.random.key(0))
 
@@ -517,6 +583,7 @@ class TestReferenceOneTrainStep:
             d_grads, pool_shape=(8, 8, 8))["params"]
         # RMSprop update-magnitude bound: lr * g / (sqrt(0.01 g^2) + eps) < 10 * lr
         update_bound = 10.0 * self.LR
+        zero_grad_thresh = 1e-4
 
         def tree_close(got, want, what, rtol, atol, grads=None):
             got_f = jax.tree_util.tree_flatten_with_path(got)[0]
@@ -532,7 +599,7 @@ class TestReferenceOneTrainStep:
                     # per-element: where the true gradient is numerically zero,
                     # both sides move by amplified cancellation noise and only
                     # the update-magnitude bound is meaningful
-                    tol = np.where(np.abs(np.asarray(gr)) < 1e-4,
+                    tol = np.where(np.abs(np.asarray(gr)) < zero_grad_thresh,
                                    2.5 * update_bound, tol)
                 bad = np.abs(g - w) > tol
                 assert not bad.any(), (

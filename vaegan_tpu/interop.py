@@ -182,6 +182,40 @@ def reference_discriminator_to_variables(
         mapped, first_linear="linear_1", pool_shape=pool_shape)
 
 
+def reference_dropout_masks_to_collection(
+    named_masks, kind: str,
+) -> Dict[str, Any]:
+    """Recorded torch dropout masks -> a flax ``masks`` collection.
+
+    ``named_masks``: ordered ``(torch_module_path, mask)`` pairs as captured from
+    ONE forward of the reference's generator (``kind="generator"``) or
+    discriminator (``kind="discriminator"``) — mask is the NCHW 0/1 keep-mask the
+    torch module actually applied (elementwise ``nn.Dropout`` full-shape, or
+    ``nn.Dropout2d`` channel-shape (N, C, 1, 1), README.md:144/381). Returns the
+    collection tree to pass as ``{"masks": ...}`` into ``apply`` (each
+    :class:`vaegan_tpu.models.layers.Dropout` site reads its ``mask`` leaf
+    instead of drawing, enabling dropout-ACTIVE one-step parity)."""
+    tree: Dict[str, Any] = {}
+    for name, mask in named_masks:
+        if kind == "generator":
+            if name.startswith("encoder.encoder."):
+                name = "encoder." + name[len("encoder.encoder."):]
+            elif name.startswith("decoder.decoder."):
+                name = "decoder." + name[len("decoder.decoder."):]
+        elif kind == "discriminator":
+            name = _RES_LAYERS_RE.sub(
+                lambda m: f"res_layers_{m.group(1)}_{m.group(2)}.", name)
+        else:
+            raise ValueError(f"unknown kind {kind!r}")
+        m = _to_np(mask)
+        if m.ndim != 4:
+            raise ValueError(f"mask for {name} has rank {m.ndim}, expected 4")
+        # NCHW -> NHWC (also maps torch's channel mask (N,C,1,1) to our (N,1,1,C))
+        m = np.ascontiguousarray(m.transpose(0, 2, 3, 1)).astype(bool)
+        _set(tree, tuple(name.split(".")) + ("mask",), m)
+    return tree
+
+
 # --- reverse direction: our variables -> torch state_dict --------------------
 
 def conv_weight_inv(w: np.ndarray) -> np.ndarray:

@@ -154,7 +154,12 @@ class BatchNorm(nn.Module):
 
 class Dropout(nn.Module):
     """Inverted dropout; ``channelwise=True`` reproduces ``nn.Dropout2d``
-    (drops whole feature maps — broadcast over H, W in NHWC)."""
+    (drops whole feature maps — broadcast over H, W in NHWC).
+
+    A read-only ``masks`` collection passed to ``apply`` overrides the random
+    draw with a precomputed keep-mask at this module's path (parity harness:
+    replay the reference's torch dropout masks through the composed step,
+    tests/test_reference_parity.py)."""
 
     rate: float
     channelwise: bool = False
@@ -163,12 +168,20 @@ class Dropout(nn.Module):
     def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
         if not train or self.rate == 0.0:
             return x
-        key = self.make_rng("dropout")
         keep = 1.0 - self.rate
-        shape = (x.shape[0], 1, 1, x.shape[-1]) if self.channelwise else x.shape
-        mask = jax.random.bernoulli(key, keep, shape)
+        if self.has_variable("masks", "mask"):
+            mask = self.get_variable("masks", "mask")
+        else:
+            key = self.make_rng("dropout")
+            shape = (x.shape[0], 1, 1, x.shape[-1]) if self.channelwise else x.shape
+            mask = jax.random.bernoulli(key, keep, shape)
         return jnp.where(mask, x / jnp.asarray(keep, x.dtype), jnp.zeros((), x.dtype))
 
 
 def leaky_relu(x: jax.Array, negative_slope: float) -> jax.Array:
-    return jnp.where(x >= 0, x, x * jnp.asarray(negative_slope, x.dtype))
+    # strict ``x > 0``: the primal is identical either way, but the VJP routes
+    # x == 0 through the slope branch, matching torch's subgradient convention
+    # (torch backward: ``x > 0 ? g : g*slope``). The measure-zero point is HIT in
+    # practice: a fully-dropped channel feeds BN zeros, whose output is exactly
+    # the (zero-initialized) bias — found by dropout-active one-step parity.
+    return jnp.where(x > 0, x, x * jnp.asarray(negative_slope, x.dtype))

@@ -71,7 +71,7 @@ def _bn_fwd_kernel(seed_ref, x_ref, mv_ref, sb_ref, y_ref, *, slope, p, eps, blo
     mean = mv_ref[0, :]
     inv = jax.lax.rsqrt(mv_ref[1, :] + eps)
     a = (x - mean) * (inv * sb_ref[0, :]) + sb_ref[1, :]
-    l = jnp.where(a >= 0, a, a * slope)
+    l = jnp.where(a > 0, a, a * slope)
     if p > 0.0:
         bits = pltpu.prng_random_bits(l.shape)  # int32; logical shift -> uniform 24-bit
         keep = jax.lax.shift_right_logical(bits, 8).astype(jnp.float32) >= jnp.float32(p * (1 << 24))
@@ -97,7 +97,7 @@ def _bn_bwd_kernel(seed_ref, x_ref, mv_ref, sb_ref, g_ref,
         gl = jnp.where(keep, g * (1.0 / (1.0 - p)), 0.0)
     else:
         gl = g
-    ga = jnp.where(a >= 0, gl, gl * slope)
+    ga = jnp.where(a > 0, gl, gl * slope)  # strict >: torch subgradient at 0 is slope
     dxhat = ga * scale
     dx_ref[:] = (dxhat * inv).astype(dx_ref.dtype)
     # channel reductions, accumulated across the sequential TPU grid
@@ -119,7 +119,7 @@ def _bn_bwd_kernel(seed_ref, x_ref, mv_ref, sb_ref, g_ref,
 def _bn_fallback(x, mean, var, scale, bias, seed, slope, p, eps):
     inv = jax.lax.rsqrt(var.astype(jnp.float32) + eps)
     a = (x.astype(jnp.float32) - mean) * (inv * scale) + bias
-    l = jnp.where(a >= 0, a, a * slope)
+    l = jnp.where(a > 0, a, a * slope)
     if p > 0.0:
         k = jax.random.fold_in(jax.random.key(0), seed)
         keep = jax.random.bernoulli(k, 1.0 - p, l.shape)
