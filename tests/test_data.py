@@ -145,6 +145,62 @@ class TestLoader:
         np.testing.assert_allclose(np.asarray(out[0]), ds.load_batch([0, 1, 2, 3]), rtol=1e-6)
 
 
+class TestFetchDataset:
+    def _make_zip(self, tmp_path, nested=False):
+        import zipfile
+        rng = np.random.default_rng(3)
+        src = tmp_path / "src"
+        src.mkdir()
+        names = []
+        for i in range(3):
+            nifti.write_nifti(src / f"hand{i}.nii", rng.normal(size=(8, 8)).astype(np.float32))
+            names.append(f"hand{i}.nii")
+        zpath = tmp_path / "ImagesHands.zip"
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for n in names:
+                arc = f"ImagesHands/{n}" if nested else n
+                zf.write(src / n, arcname=arc)
+            zf.writestr("README.txt", "not a nifti")
+        return zpath
+
+    def test_archive_path_extracts_flat(self, tmp_path):
+        from vaegan_tpu.data.fetch import fetch_dataset
+        zpath = self._make_zip(tmp_path, nested=True)
+        dest = tmp_path / "nii"
+        n = fetch_dataset(dest=str(dest), archive_path=str(zpath))
+        assert n == 3
+        # nested members flattened; non-NIfTI members skipped
+        assert sorted(p.name for p in dest.iterdir()) == ["hand0.nii", "hand1.nii", "hand2.nii"]
+        # the extracted dir is directly loadable
+        ds = NiftiDataset(dest, image_size=8)
+        assert ds.load_batch([0, 1, 2]).shape == (3, 8, 8, 1)
+
+    def test_url_download_path(self, tmp_path):
+        # file:// exercises the urllib download branch without network
+        from vaegan_tpu.data.fetch import fetch_dataset
+        zpath = self._make_zip(tmp_path)
+        dest = tmp_path / "nii2"
+        n = fetch_dataset(url=zpath.as_uri(), dest=str(dest))
+        assert n == 3 and len(list(dest.iterdir())) == 3
+
+    def test_empty_archive_rejected(self, tmp_path):
+        import zipfile
+        from vaegan_tpu.data.fetch import fetch_dataset
+        zpath = tmp_path / "empty.zip"
+        with zipfile.ZipFile(zpath, "w") as zf:
+            zf.writestr("nothing.txt", "x")
+        with pytest.raises(ValueError, match="no .nii"):
+            fetch_dataset(dest=str(tmp_path / "out"), archive_path=str(zpath))
+
+    def test_cli_fetch_data(self, tmp_path, capsys):
+        from vaegan_tpu.cli import main
+        zpath = self._make_zip(tmp_path, nested=True)
+        rc = main(["fetch-data", "--dest", str(tmp_path / "nii3"),
+                   "--archive", str(zpath)])
+        assert rc == 0
+        assert "extracted 3 NIfTI files" in capsys.readouterr().out
+
+
 class TestCachedDataset:
     def test_decode_once_and_serve(self, nii_dir, tmp_path):
         from vaegan_tpu.data.pipeline import CachedDataset
@@ -201,9 +257,10 @@ class TestCachedDataset:
         with pytest.raises(ValueError, match="fingerprint"):
             CachedDataset(NiftiDataset(d, image_size=8), cache_path=str(cache))
 
-    def test_missing_meta_sidecar_rejected(self, tmp_path):
-        # a published cache with no fingerprint sidecar is unverifiable (e.g. a
-        # crash wiped it, or a pre-fix cache): refuse rather than silently trust
+    def test_missing_meta_sidecar_adopted_with_warning(self, tmp_path):
+        # a published cache with no fingerprint sidecar (built before sidecars
+        # existed) is adopted — with a warning and a freshly written sidecar so
+        # FUTURE source changes are caught — instead of hard-failing the upgrade
         from vaegan_tpu.data.pipeline import CachedDataset
         d = tmp_path / "nii"
         d.mkdir()
@@ -213,6 +270,15 @@ class TestCachedDataset:
         ds = NiftiDataset(d, image_size=8)
         cache = tmp_path / "c4.npy"
         CachedDataset(ds, cache_path=str(cache))
-        (tmp_path / "c4.npy.meta").unlink()
-        with pytest.raises(ValueError, match="sidecar"):
+        meta = tmp_path / "c4.npy.meta"
+        fp = meta.read_text()
+        meta.unlink()
+        with pytest.warns(UserWarning, match="sidecar"):
+            CachedDataset(NiftiDataset(d, image_size=8), cache_path=str(cache))
+        assert meta.read_text() == fp  # sidecar regenerated
+        # and the adopted cache is protected from then on: change a source file
+        import time
+        time.sleep(0.01)
+        nifti.write_nifti(d / "f0.nii", rng.normal(size=(8, 8)).astype(np.float32))
+        with pytest.raises(ValueError, match="fingerprint"):
             CachedDataset(NiftiDataset(d, image_size=8), cache_path=str(cache))

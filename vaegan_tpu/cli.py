@@ -9,6 +9,7 @@ The reference has no CLI (it is a notebook); this exposes the framework's surfac
     python -m vaegan_tpu.cli interpolate --checkpoint ckpt/ ... -o interp.png
     python -m vaegan_tpu.cli search --trials 8 --results result/params.json
     python -m vaegan_tpu.cli print-config --preset vaegan_paper
+    python -m vaegan_tpu.cli fetch-data --dest nii
 """
 
 from __future__ import annotations
@@ -179,6 +180,15 @@ def cmd_search(args):
     return 0
 
 
+def cmd_fetch_data(args):
+    from vaegan_tpu.data.fetch import REFERENCE_DATASET_URL, fetch_dataset
+
+    n = fetch_dataset(url=args.url or REFERENCE_DATASET_URL, dest=args.dest,
+                      archive_path=args.archive)
+    print(f"extracted {n} NIfTI files into {args.dest}")
+    return 0
+
+
 def cmd_bench(args):
     import runpy
 
@@ -190,9 +200,13 @@ def cmd_bench(args):
         print(f"unknown bench mode(s) {bad}; valid: {sorted(valid)}",
               file=sys.stderr)
         return 2
-    if len(modes) > 1:
-        # bench.py runs exactly one mode; refuse rather than silently drop
-        print(f"pass at most one bench mode, got {modes}", file=sys.stderr)
+    # bench.py runs exactly one mode; the only valid combination is roofline
+    # with a step selector (`bench roofline paper` attributes the Larsen step)
+    combo_ok = "roofline" in modes and all(
+        m in ("roofline", "paper", "vae") for m in modes) and len(modes) <= 2
+    if len(modes) > 1 and not combo_ok:
+        print(f"pass at most one bench mode (or 'roofline' plus 'paper'|'vae'), "
+              f"got {modes}", file=sys.stderr)
         return 2
     sys.argv = ["bench.py"] + [f"--{m}" for m in modes]
     runpy.run_path(str(Path(__file__).resolve().parents[1] / "bench.py"),
@@ -270,10 +284,19 @@ def main(argv=None) -> int:
     common(sp)
     sp.set_defaults(fn=cmd_print_config)
 
+    sp = sub.add_parser("fetch-data",
+                        help="download + extract the reference's hand X-ray "
+                             "dataset (or any NIfTI zip) into a flat dir")
+    sp.add_argument("--dest", default="nii", help="output directory (default nii)")
+    sp.add_argument("--url", help="zip URL (default: the reference's Drive link)")
+    sp.add_argument("--archive", help="already-downloaded zip (skips the download)")
+    sp.set_defaults(fn=cmd_fetch_data)
+
     sp = sub.add_parser("bench", help="run the throughput benchmark")
     sp.add_argument("mode", nargs="*",
                     help="bench mode: paper | vae | loader | roofline "
-                         "(default: headline WGAN-GP step)")
+                         "(default: headline WGAN-GP step); 'roofline paper' / "
+                         "'roofline vae' attribute those steps instead")
     sp.set_defaults(fn=cmd_bench)
 
     args = p.parse_args(argv)
