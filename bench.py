@@ -84,20 +84,24 @@ def bench_loader() -> None:
     }))
 
 
-def bench_roofline() -> None:
+def bench_roofline(preset_name: str = "notebook") -> None:
     """Measurement-backed roofline: the 856 img/s 'memory roofline' in
     BENCH_NOTES assumed the chip's PAPER bandwidth (820 GB/s). Real kernels
     never reach paper bandwidth; this mode measures (a) the chip's ACHIEVED
     HBM bandwidth with a bandwidth-optimal elementwise triad (2 reads + 1
     write per element, zero flops of substance), (b) the train step's XLA
     cost-analysis bytes and measured time, and reports the step's implied
-    bandwidth as a fraction of the ACHIEVED ceiling."""
+    bandwidth as a fraction of the ACHIEVED ceiling.
+
+    Combine with ``--paper`` / ``--vae`` to attribute the Larsen three-optimizer
+    step or the plain-VAE step instead of the notebook WGAN-GP step."""
     batch_size = int(os.environ.get("BENCH_BATCH", 128))
     image = int(os.environ.get("BENCH_IMAGE", 96))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
 
     from vaegan_tpu.config import preset
-    from vaegan_tpu.train import create_train_state, make_train_step
+    from vaegan_tpu.train import (
+        create_train_state, make_paper_train_step, make_train_step)
 
     # (a) achieved HBM bandwidth: y <- a*y + b iterated ON DEVICE in one dispatch
     # (per-call dispatch crosses the network tunnel here and would pollute the
@@ -121,13 +125,14 @@ def bench_roofline() -> None:
     achieved_gbs = triad_bytes / dt / 1e9
 
     # (b) the step: cost analysis + measured time
-    cfg = preset("notebook")
+    cfg = preset(preset_name)
     cfg = cfg.replace(
         data=cfg.data.replace(image_size=image, batch_size=batch_size),
         train=cfg.train.replace(dtype=dtype),
     )
     state = create_train_state(cfg, jax.random.key(0))
-    step = make_train_step(cfg, do_g_update=True)
+    step = (make_paper_train_step(cfg) if cfg.optim.scheme == "three"
+            else make_train_step(cfg, do_g_update=True))
     batch = jax.random.uniform(jax.random.key(1), (batch_size, image, image, 1))
     key = jax.random.key(2, impl=cfg.train.rng_impl)
     lowered = jax.jit(step, donate_argnums=0).lower(state, batch, key)
@@ -149,8 +154,10 @@ def bench_roofline() -> None:
     step_s = (time.perf_counter() - t0) / n_steps
 
     implied_gbs = bytes_ / step_s / 1e9
+    label = {"notebook": "VAE-GAN", "vaegan_paper": "Larsen-paper",
+             "notebook_vae": "plain-VAE"}.get(preset_name, preset_name)
     print(json.dumps({
-        "metric": "roofline attribution (achieved-BW-normalized)",
+        "metric": f"roofline attribution, {label} step (achieved-BW-normalized)",
         "achieved_hbm_gbs_triad": round(achieved_gbs, 1),
         "step_cost_flops_T": round(flops / 1e12, 2),
         "step_cost_bytes_GB": round(bytes_ / 1e9, 2),
@@ -223,7 +230,9 @@ if __name__ == "__main__":
     if "--loader" in sys.argv:
         bench_loader()
     elif "--roofline" in sys.argv:
-        bench_roofline()
+        bench_roofline("vaegan_paper" if "--paper" in sys.argv
+                       else "notebook_vae" if "--vae" in sys.argv
+                       else "notebook")
     elif "--paper" in sys.argv:
         main("vaegan_paper")
     elif "--vae" in sys.argv:
