@@ -102,6 +102,32 @@ def main(port: int, pid: int) -> None:
     print(f"TRAINDP_OK pid={pid} d_loss={h[-1]['d_loss']:.6f} "
           f"g_loss={h[-1]['g_loss']:.6f}", flush=True)
 
+    # critic-head TP composed with cross-host DP (BASELINE config 5 at pod
+    # scale): 4x2 data x model mesh over the same 8 devices. shard_state
+    # assembles the SHARDED leaves from each process's full local copy via
+    # make_array_from_callback (pre-round-3 this raised NotImplementedError).
+    from jax.sharding import PartitionSpec as P
+
+    from vaegan_tpu.parallel.mesh import state_shardings
+
+    cfg3 = cfg.replace(parallel=cfg.parallel.replace(num_data=4, num_model=2))
+    mesh2 = make_mesh(num_data=4, num_model=2)
+    state2 = shard_state(create_train_state(cfg3, jax.random.key(0)), mesh2)
+    lw = state2.d_params["linear_1"]["kernel"]
+    assert lw.sharding.spec == P(None, "model"), lw.sharding.spec
+    spec = state_shardings(state2, mesh2)
+    step2 = make_parallel_train_step(cfg3, mesh2, do_g_update=True,
+                                     state_spec=spec)
+    it2 = device_prefetch(loader.iter_batches(0), batch_sharding(mesh2),
+                          depth=1, global_batch=cfg.data.batch_size)
+    new2, m2 = step2(state2, next(it2), key)
+    vals2 = {k: float(jax.device_get(v)) for k, v in m2.items()}
+    assert int(jax.device_get(new2.step)) == 1
+    for k, v in vals2.items():
+        assert np.isfinite(v), (k, v)
+    print(f"TP_OK pid={pid} d_loss={vals2['d_loss']:.6f} "
+          f"g_loss={vals2['g_loss']:.6f}", flush=True)
+
 
 if __name__ == "__main__":
     main(int(sys.argv[1]), int(sys.argv[2]))

@@ -71,3 +71,12 @@ def test_two_process_dp_step():
         vals = [float(re.search(rf"TRAINDP_OK pid=\d+ .*?{metric}=([-\d.]+)", o,
                                 re.DOTALL).group(1)) for o in outs]
         assert abs(vals[0] - vals[1]) < 1e-5, ("train_data_parallel", metric, vals)
+
+    # critic-head TP composed with cross-host DP (4x2 mesh): sharded-leaf
+    # placement via shard_state + one step, identical losses on both hosts
+    for pid, out in enumerate(outs):
+        assert f"TP_OK pid={pid}" in out, out[-2000:]
+    for metric in ("d_loss", "g_loss"):
+        vals = [float(re.search(rf"TP_OK pid=\d+ .*?{metric}=([-\d.]+)", o,
+                                re.DOTALL).group(1)) for o in outs]
+        assert abs(vals[0] - vals[1]) < 1e-5, ("dp_x_tp", metric, vals)
