@@ -1,0 +1,82 @@
+"""Reproduce the reference's headline experiment at its native operating point.
+
+The reference's published numbers (README.md:938-961, 1266, 1358-1388) come from
+256x256 images, batch 4, 3 epochs, lr 3e-4, with eval = one-batch reconstruction
+MSE repeated over fresh shuffled draws (cell 23's protocol; VAE-GAN band
+0.0518-0.0573, plain-VAE 0.0790-0.0983 on the hand X-rays).
+
+    python examples/reproduce_headline.py                 # VAE-GAN, synthetic
+    python examples/reproduce_headline.py --vae           # plain-VAE ablation
+    python examples/reproduce_headline.py --data-dir nii  # the real dataset
+
+Prints one JSON line with the final train metrics and the repeat-draw eval MSEs.
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+
+from vaegan_tpu import inference
+from vaegan_tpu.config import preset
+from vaegan_tpu.data.pipeline import make_loader
+from vaegan_tpu.train.loop import train
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--vae", action="store_true",
+                    help="the plain-VAE ablation (adv weight 0, dummy critic)")
+    ap.add_argument("--data-dir", default=None,
+                    help="real NIfTI dir; default: the synthetic stand-in sized "
+                         "like the reference's dataset (~1200 images)")
+    ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--image-size", type=int, default=256)
+    ap.add_argument("--batch-size", type=int, default=4)
+    ap.add_argument("--draws", type=int, default=3,
+                    help="repeat-draw eval count (cell 23 runs it repeatedly)")
+    ap.add_argument("--out", default="headline_out")
+    ap.add_argument("--dtype", default="bfloat16")
+    args = ap.parse_args()
+
+    cfg = preset("notebook_vae" if args.vae else "notebook")
+    cfg = cfg.replace(
+        data=cfg.data.replace(
+            image_size=args.image_size, batch_size=args.batch_size,
+            root_dir=args.data_dir or "nii", synthetic=args.data_dir is None,
+            cache=args.data_dir is not None),
+        train=cfg.train.replace(
+            n_epochs=args.epochs, dtype=args.dtype, sample_interval=100,
+            sample_dir=f"{args.out}/samples", log_every=50),
+    )
+    Path(args.out).mkdir(parents=True, exist_ok=True)
+
+    t0 = time.time()
+    state, logger = train(cfg)
+    wall = time.time() - t0
+
+    # cell-23 protocol: fresh shuffled one-batch MSE per draw
+    loader = make_loader(cfg.data, seed=1)
+    draws = [inference.evaluate_mse(cfg, state, iter(loader))
+             for _ in range(args.draws)]
+
+    tail = [m for m in logger.history if "_wall_s" not in m][-1]
+    print(json.dumps({
+        "run": "plain-VAE" if args.vae else "VAE-GAN",
+        "operating_point": f"{args.image_size}^2 batch {args.batch_size} "
+                           f"x {args.epochs} epochs ({args.dtype})",
+        "steps": int(jax.device_get(state.step)),
+        "train_wall_s": round(wall, 1),
+        "final_train_metrics": {k: round(float(v), 4) for k, v in tail.items()},
+        "eval_mse_repeat_draws": [round(m, 4) for m in draws],
+        "reference_band": "0.0790-0.0983" if args.vae else "0.0518-0.0573",
+    }, ), flush=True)
+
+
+if __name__ == "__main__":
+    main()
