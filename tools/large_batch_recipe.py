@@ -1,0 +1,159 @@
+"""Large-batch WGAN-GP recipe probe (BASELINE config 5 / preset vaegan_256_dp).
+
+The reference's adversarial recipe is tuned for batch 4 / lr 3e-4; at batch 128
+the game destabilizes late (round-2 BENCH_NOTES: train recon reaches 0.13 by
+step 1800, then critic real-score drift to ±26 and eval MSE 0.79). This driver
+probes candidate mitigations (TTUR lr split, n_critics, lr scaling) cheaply:
+
+- the WHOLE synthetic dataset is staged on-device once (1,200 x 96^2 x f32 =
+  44 MB) and batches are gathered on-chip from host-shuffled index arrays, so a
+  probe costs step time only — the dev tunnel's ~2 s/batch H2D never enters;
+- every `--log-every` steps it records critic real/fake scores and train recon;
+- at the end it evaluates eval-mode reconstruction MSE on held-back batches
+  (the reference's one-batch metric, averaged over 3 draws).
+
+    python tools/large_batch_recipe.py --steps 3000 --batch 128 \
+        --lr-g 1e-4 --lr-d 3e-4 --n-critics 1 --dtype bfloat16
+
+Prints one JSON line per probe. Verdict fields: final eval MSE, max |critic
+score| over the run, last-window train recon.
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  str(Path(__file__).resolve().parents[1] / ".jax_cache_bench"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+from vaegan_tpu.config import preset
+from vaegan_tpu.data.pipeline import SyntheticDataset
+from vaegan_tpu.train import create_train_state, make_train_step
+from vaegan_tpu.train.state import build_models
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--image-size", type=int, default=96)
+    ap.add_argument("--dataset", type=int, default=1200)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--lr-g", type=float, default=None)
+    ap.add_argument("--lr-d", type=float, default=None)
+    ap.add_argument("--n-critics", type=int, default=1)
+    ap.add_argument("--clip", type=float, default=0.01)
+    ap.add_argument("--lambda-gp", type=float, default=10.0)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--log-every", type=int, default=100)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    cfg = preset("notebook")
+    cfg = cfg.replace(
+        data=cfg.data.replace(image_size=args.image_size, batch_size=args.batch),
+        loss=cfg.loss.replace(clip_value=args.clip or None,
+                              lambda_gp=args.lambda_gp),
+        optim=cfg.optim.replace(lr=args.lr, lr_g=args.lr_g, lr_d=args.lr_d),
+        train=cfg.train.replace(dtype=args.dtype, n_critics=args.n_critics,
+                                seed=args.seed),
+    )
+
+    # whole dataset resident in HBM; batches gathered on-device. The training
+    # loop is dispatched in CHUNKS: one jitted call scans `--log-every` steps
+    # (grouped as 1 G-step + n_critics-1 D-steps, the loop.py schedule), so the
+    # dev tunnel sees ~steps/log_every dispatches instead of one per step.
+    ds = SyntheticDataset(args.dataset, args.image_size, seed=0)
+    data = jax.device_put(jnp.asarray(ds.load_batch(range(args.dataset))))
+
+    state = create_train_state(cfg, jax.random.key(args.seed))
+    step_g_fn = make_train_step(cfg, do_g_update=True)
+    step_d_fn = make_train_step(cfg, do_g_update=False)
+    key = jax.random.key(args.seed, impl=cfg.train.rng_impl)
+    nc = args.n_critics
+
+    from functools import partial
+
+    # one jitted call per STEP (bench.py proves per-step jit dispatch runs at
+    # chip rate over the tunnel); the batch gather lives INSIDE the jit — an
+    # eager per-step jnp.take was the dispatch-latency killer.
+    @partial(jax.jit, donate_argnums=0)
+    def jstep_g(state, data, idx, sno):
+        return step_g_fn(state, jnp.take(data, idx, axis=0),
+                         jax.random.fold_in(key, sno))
+
+    @partial(jax.jit, donate_argnums=0)
+    def jstep_d(state, data, idx, sno):
+        return step_d_fn(state, jnp.take(data, idx, axis=0),
+                         jax.random.fold_in(key, sno))
+
+    rng = np.random.default_rng(args.seed)
+    n_batches = args.dataset // args.batch
+
+    def index_stream():
+        while True:
+            order = rng.permutation(args.dataset)
+            for i in range(n_batches):
+                yield order[i * args.batch:(i + 1) * args.batch]
+    stream = index_stream()
+
+    history = []
+    t0 = time.time()
+    for sno in range(args.steps):
+        idx = np.asarray(next(stream), np.int32)
+        jstep = jstep_g if (sno % (args.dataset // args.batch) % nc == 0) else jstep_d
+        state, metrics = jstep(state, data, idx, np.int32(sno))
+        if (sno + 1) % args.log_every == 0:
+            m = {k: float(jax.device_get(v)) for k, v in metrics.items()}
+            history.append({"step": sno + 1,
+                            "recon": m["recon_loss"],
+                            "d_real": -m["d_real_loss"],
+                            "d_fake": m["d_fake_loss"],
+                            "gp": m["gp"]})
+            print(json.dumps(history[-1]), flush=True)
+            if not all(np.isfinite(list(history[-1].values()))):
+                print(json.dumps({"verdict": "diverged", "at": sno + 1}), flush=True)
+                break
+    wall = time.time() - t0
+
+    # eval: reference one-batch MSE protocol, 3 fresh draws, eval-mode generator
+    gen, _ = build_models(cfg)
+
+    @jax.jit
+    def recon_mse(state, batch):
+        out = gen.apply({"params": state.g_params, "batch_stats": state.g_stats},
+                        batch, train=False)
+        r = out[0] if cfg.generator.is_vae else out
+        return jnp.mean(jnp.square(r.astype(jnp.float32) - batch.astype(jnp.float32)))
+
+    draws = []
+    for d in range(3):
+        idx = jnp.asarray(rng.permutation(args.dataset)[: args.batch])
+        draws.append(float(jax.device_get(recon_mse(state, jnp.take(data, idx, 0)))))
+
+    scores = [abs(h["d_real"]) for h in history] + [abs(h["d_fake"]) for h in history]
+    tail = history[-5:]
+    print(json.dumps({
+        "probe": {"batch": args.batch, "image": args.image_size,
+                  "lr": args.lr, "lr_g": args.lr_g, "lr_d": args.lr_d,
+                  "n_critics": args.n_critics, "clip": args.clip,
+                  "lambda_gp": args.lambda_gp, "dtype": args.dtype,
+                  "steps": args.steps},
+        "eval_mse_draws": [round(x, 4) for x in draws],
+        "max_abs_critic_score": round(max(scores), 2) if scores else None,
+        "tail_recon": [round(h["recon"], 4) for h in tail],
+        "wall_s": round(wall, 1),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
