@@ -277,6 +277,28 @@ class TestGradAccum:
 
 
 class TestPaperStep:
+    def test_concat_critic_batching_trains(self):
+        """critic_batching='concat' folds the paper step's real/x_tilde/x_p
+        scoring into ONE critic apply (a documented BN deviation; measured
+        slower on TPU, kept opt-in — BENCH_NOTES). Must train finitely and
+        move all four parameter groups."""
+        cfg = tiny_config(adversarial="bce", reconstruction="dis_l",
+                          lambda_gp=0.0, clip_value=None, kl_reduction="mean")
+        cfg = cfg.replace(optim=cfg.optim.replace(scheme="three"),
+                          train=cfg.train.replace(critic_batching="concat"))
+        state = create_train_state(cfg, jax.random.key(0))
+        step = jax.jit(make_paper_train_step(cfg))
+        new_state, m = step(state, batch_of(cfg, jax.random.key(1)), jax.random.key(2))
+        for k in ("d_loss", "g_loss", "recon_loss", "kl",
+                  "d_real_loss", "d_fake_loss"):
+            assert np.isfinite(float(m[k])), k
+        for group in ("encoder", "decoder", "code_processor"):
+            assert not jnp.allclose(
+                jax.tree.leaves(new_state.g_params[group])[0],
+                jax.tree.leaves(state.g_params[group])[0]), group
+        assert not jnp.allclose(jax.tree.leaves(new_state.d_params)[0],
+                                jax.tree.leaves(state.d_params)[0])
+
     def test_three_optimizer_step(self):
         cfg = tiny_config(adversarial="bce", reconstruction="dis_l",
                           lambda_gp=0.0, clip_value=None, kl_reduction="mean")
