@@ -104,6 +104,47 @@ def main():
     print(f"op totals across all fusions: "
           f"{dict(sorted(ops_total.most_common(12)))}")
 
+    # --- the decisive number: HBM bytes vs the fully-fused ideal -------------
+    # If the compiled block moves ~the same bytes a perfectly-fused schedule
+    # would (each conv reads its input once + writes its output once + weights;
+    # all BN/LeakyReLU/dropout elementwise work rides along for free; BN-stat
+    # reductions re-read each conv output once in train mode), then no
+    # elementwise chain is round-tripping HBM and the north-star "fused
+    # kernels" property holds regardless of how XLA groups its fusions.
+    ca = compiled.cost_analysis()
+    ca = ca[0] if isinstance(ca, list) else ca
+    measured = ca.get("bytes accessed", float("nan"))
+    bpe = jnp.dtype(dt).itemsize
+
+    def nbytes(shape, itemsize=None):
+        n = 1
+        for s in shape:
+            n *= s
+        return n * (itemsize or bpe)
+
+    # pre-activation downsample block (mode="downsample"): conv1 and the
+    # shortcut conv are both 3x3 stride-2 (cin -> c), conv2 is 3x3 stride-1;
+    # all three conv outputs live at the downsampled resolution.
+    b, hw, c = args.batch, args.image_size, args.channels
+    cin = c // 2
+    x_b = nbytes((b, hw, hw, cin))                  # block input
+    o_b = nbytes((b, hw // 2, hw // 2, c))          # every conv output
+    w_b = (9 * cin * c + 9 * c * c + 9 * cin * c) * bpe
+    # reads: conv1(x), shortcut(x), conv2(h), residual-add(shortcut out);
+    # writes: h, shortcut out, block out. Dropout masks are generated
+    # in-register (rng-bit-generator => no HBM), BN normalize/act ride conv
+    # prologues. Aggressive ideal assumes BN-stat reductions ride the
+    # PRODUCING conv's epilogue (no re-read); conservative charges one extra
+    # read per train-mode BN (bn1 over x, bn2 over h, sc_bn over sc out).
+    ideal_aggr = 2 * x_b + 5 * o_b + w_b
+    ideal_cons = ideal_aggr + x_b + 2 * o_b
+    print(f"\nbytes accessed (XLA cost analysis): {measured/1e6:.1f} MB")
+    print(f"fully-fused ideal: {ideal_aggr/1e6:.1f} MB (BN stats ride conv "
+          f"epilogues) .. {ideal_cons/1e6:.1f} MB (each BN stats pass re-reads)")
+    print(f"ratio measured/ideal: {measured/ideal_cons:.2f}x .. "
+          f"{measured/ideal_aggr:.2f}x  "
+          f"(~1x => the elementwise chains cost no extra HBM round-trips)")
+
 
 if __name__ == "__main__":
     main()

@@ -53,6 +53,9 @@ def main():
     ap.add_argument("--n-critics", type=int, default=1)
     ap.add_argument("--clip", type=float, default=0.01)
     ap.add_argument("--lambda-gp", type=float, default=10.0)
+    ap.add_argument("--grad-accum", type=int, default=1,
+                    help="microbatch accumulation (e.g. 4 at 256^2 batch 64: "
+                         "the single-step GP graph OOMs 16 GB HBM past b16)")
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--log-every", type=int, default=100)
     ap.add_argument("--seed", type=int, default=0)
@@ -65,7 +68,7 @@ def main():
                               lambda_gp=args.lambda_gp),
         optim=cfg.optim.replace(lr=args.lr, lr_g=args.lr_g, lr_d=args.lr_d),
         train=cfg.train.replace(dtype=args.dtype, n_critics=args.n_critics,
-                                seed=args.seed),
+                                seed=args.seed, grad_accum=args.grad_accum),
     )
 
     # whole dataset resident in HBM; batches gathered on-device. The training
@@ -147,7 +150,8 @@ def main():
                   "lr": args.lr, "lr_g": args.lr_g, "lr_d": args.lr_d,
                   "n_critics": args.n_critics, "clip": args.clip,
                   "lambda_gp": args.lambda_gp, "dtype": args.dtype,
-                  "steps": args.steps},
+                  "steps": args.steps, "seed": args.seed,
+                  "grad_accum": args.grad_accum},
         "eval_mse_draws": [round(x, 4) for x in draws],
         "max_abs_critic_score": round(max(scores), 2) if scores else None,
         "tail_recon": [round(h["recon"], 4) for h in tail],
