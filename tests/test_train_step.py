@@ -389,3 +389,75 @@ class TestPlainAutoencoderMode:
             assert np.isfinite(float(v)), k
         assert not jnp.allclose(jax.tree.leaves(new_state.g_params)[0],
                                 jax.tree.leaves(state.g_params)[0])
+
+
+class TestGeneratorEMA:
+    """Opt-in generator-param EMA (cfg.train.ema_decay; no reference analogue)."""
+
+    def test_off_by_default(self):
+        cfg = tiny_config()
+        state = create_train_state(cfg, jax.random.key(0))
+        step = jax.jit(make_train_step(cfg, do_g_update=True))
+        state, _ = step(state, batch_of(cfg, jax.random.key(1)), jax.random.key(2))
+        assert state.g_ema is None
+
+    def test_ema_is_exact_blend_and_freezes_on_critic_steps(self):
+        d = 0.75
+        cfg = tiny_config()
+        cfg = cfg.replace(train=cfg.train.replace(ema_decay=d))
+        state = create_train_state(cfg, jax.random.key(0))
+        # at init the EMA equals the params
+        for e, p in zip(jax.tree.leaves(state.g_ema), jax.tree.leaves(state.g_params)):
+            np.testing.assert_array_equal(np.asarray(e), np.asarray(p))
+
+        step_g = jax.jit(make_train_step(cfg, do_g_update=True))
+        step_d = jax.jit(make_train_step(cfg, do_g_update=False))
+        ema0 = state.g_ema
+        s1, _ = step_g(state, batch_of(cfg, jax.random.key(1)), jax.random.key(2))
+        want = jax.tree.map(lambda e, p: d * e + (1 - d) * p, ema0, s1.g_params)
+        for a, b in zip(jax.tree.leaves(s1.g_ema), jax.tree.leaves(want)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+        # critic-only step: G params and the EMA both stay put
+        s2, _ = step_d(s1, batch_of(cfg, jax.random.key(3)), jax.random.key(4))
+        for a, b in zip(jax.tree.leaves(s2.g_ema), jax.tree.leaves(s1.g_ema)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_paper_step_tracks_ema(self):
+        cfg = tiny_config()
+        cfg = cfg.replace(optim=cfg.optim.replace(scheme="three"),
+                          train=cfg.train.replace(ema_decay=0.5))
+        state = create_train_state(cfg, jax.random.key(0))
+        step = jax.jit(make_paper_train_step(cfg))
+        s1, _ = step(state, batch_of(cfg, jax.random.key(1)), jax.random.key(2))
+        want = jax.tree.map(lambda e, p: 0.5 * e + 0.5 * p,
+                            state.g_ema, s1.g_params)
+        for a, b in zip(jax.tree.leaves(s1.g_ema), jax.tree.leaves(want)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+    def test_with_ema_inference_view(self):
+        from vaegan_tpu import inference
+        cfg = tiny_config()
+        cfg = cfg.replace(train=cfg.train.replace(ema_decay=0.9))
+        state = create_train_state(cfg, jax.random.key(0))
+        step = jax.jit(make_train_step(cfg, do_g_update=True))
+        for i in range(2):
+            state, _ = step(state, batch_of(cfg, jax.random.key(i)),
+                            jax.random.key(10 + i))
+        batch = batch_of(cfg, jax.random.key(42))
+        r_live, mse_live = inference.reconstruct(cfg, state, batch)
+        r_ema, mse_ema = inference.reconstruct(cfg, inference.with_ema(state), batch)
+        assert np.isfinite(float(mse_live)) and np.isfinite(float(mse_ema))
+        # the EMA lags the live params after updates -> different outputs
+        assert not np.allclose(np.asarray(r_live), np.asarray(r_ema))
+
+    def test_with_ema_requires_tracking(self):
+        from vaegan_tpu import inference
+        cfg = tiny_config()
+        state = create_train_state(cfg, jax.random.key(0))
+        with pytest.raises(ValueError, match="ema"):
+            inference.with_ema(state)
+
+    def test_ema_decay_validated(self):
+        cfg = tiny_config()
+        with pytest.raises(ValueError, match="ema_decay"):
+            cfg.replace(train=cfg.train.replace(ema_decay=1.5))

@@ -48,6 +48,8 @@ def _load_cfg(args):
         if args.grad_accum < 1:
             raise SystemExit(f"--grad-accum must be >= 1, got {args.grad_accum}")
         t = t.replace(grad_accum=args.grad_accum)
+    if getattr(args, "ema_decay", None) is not None:
+        t = t.replace(ema_decay=args.ema_decay)
     if getattr(args, "max_steps", None) is not None:
         # 0 = unbounded (matches examples/train_multichip.py), overriding any
         # budget in the loaded config
@@ -237,6 +239,9 @@ def main(argv=None) -> int:
                     help="restore the latest checkpoint and continue")
     sp.add_argument("--dp", action="store_true",
                     help="data-parallel over all visible devices (mesh from cfg.parallel)")
+    sp.add_argument("--ema-decay", type=float,
+                    help="maintain a generator-param EMA at this decay "
+                         "(e.g. 0.999); evaluate via inference.with_ema")
     sp.add_argument("--grad-accum", type=int,
                     help="microbatch accumulation factor >= 1 (one optimizer "
                          "update per accumulated batch)")

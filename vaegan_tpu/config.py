@@ -198,12 +198,20 @@ class TrainConfig(_Replaceable):
     # the same apply (measured −38% on TPU, BENCH_NOTES.md — kept as an
     # experiment knob)
     critic_batching: str = "separate"
+    # generator weight EMA (opt-in; the reference has none). When set (e.g.
+    # 0.999), the train step maintains an exponential moving average of the
+    # generator params, refreshed after every G-optimizer update; evaluate it
+    # via ``inference.with_ema(state)``. A standard GAN stabilizer: the EMA
+    # iterate averages over the adversarial game's oscillations.
+    ema_decay: Optional[float] = None
 
     def __post_init__(self):
         if self.critic_batching not in ("separate", "concat", "concat3"):
             raise ValueError(
                 f"critic_batching must be one of 'separate'|'concat'|'concat3', "
                 f"got {self.critic_batching!r}")
+        if self.ema_decay is not None and not (0.0 < self.ema_decay < 1.0):
+            raise ValueError(f"ema_decay must be in (0, 1), got {self.ema_decay!r}")
         pallas_mode(self.use_pallas)  # asserts on invalid values
 
 

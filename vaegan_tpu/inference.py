@@ -28,6 +28,16 @@ def _gen_vars(state: TrainState):
     return {"params": state.g_params, "batch_stats": state.g_stats}
 
 
+def with_ema(state: TrainState) -> TrainState:
+    """View of ``state`` whose generator params are the EMA iterate
+    (``cfg.train.ema_decay``); every inference function then evaluates the
+    averaged generator: ``reconstruct(cfg, with_ema(state), batch)``."""
+    if state.g_ema is None:
+        raise ValueError("state carries no generator EMA — set "
+                         "cfg.train.ema_decay to maintain one during training")
+    return state.replace(g_params=state.g_ema)
+
+
 @functools.partial(jax.jit, static_argnums=0)
 def _reconstruct(cfg: Config, state: TrainState, batch: jax.Array):
     gen, _ = build_models(cfg)

@@ -32,6 +32,8 @@ class TrainState:
     g_metrics: Dict[str, jax.Array]     # last G-half metrics (the reference prints
     #                                     stale G values on critic-only steps,
     #                                     README.md:837 — reproduced intentionally)
+    g_ema: Any = None                   # generator-param EMA (cfg.train.ema_decay;
+    #                                     None = off, an empty pytree node)
 
 
 def _dtype(cfg: Config):
@@ -92,4 +94,8 @@ def create_train_state(cfg: Config, key: jax.Array, axis_name=None) -> TrainStat
         opt_g=opt_g,
         opt_d=opt_d,
         g_metrics={"g_loss": zero, "adv_loss": zero, "recon_loss": zero, "kl": zero},
+        # jnp.copy, not an aliasing identity map: the loop's jitted step donates
+        # the state, and an aliased g_params/g_ema leaf would be donated twice
+        g_ema=(jax.tree.map(jnp.copy, gv["params"])
+               if cfg.train.ema_decay is not None else None),
     )

@@ -56,6 +56,15 @@ def _clip_params(params, clip):
     return jax.tree.map(lambda p: jnp.clip(p, -clip, clip), params)
 
 
+def _ema_update(cfg: Config, g_ema, new_g_params):
+    """Refresh the generator-param EMA after a G-optimizer update (no-op when
+    ``cfg.train.ema_decay`` is unset; ``g_ema`` is then the empty None node)."""
+    d = cfg.train.ema_decay
+    if d is None or g_ema is None:
+        return g_ema
+    return jax.tree.map(lambda e, p: d * e + (1.0 - d) * p, g_ema, new_g_params)
+
+
 def _gen_forward_fn(cfg, gen):
     """Generator train-mode forward returning ((recon, mu, log_var), new_stats);
     non-VAE configs get zero mu/log_var so the KL is identically 0
@@ -316,6 +325,8 @@ def make_train_step(cfg: Config, do_g_update: bool, axis_name=None,
             g_params=new_g_params, d_params=new_d_params,
             g_stats=new_g_stats, d_stats=new_d_stats, d_spectral=new_d_spectral,
             opt_g=new_opt_g, opt_d=new_opt_d, g_metrics=g_metrics,
+            g_ema=(_ema_update(cfg, state.g_ema, new_g_params)
+                   if do_g_update else state.g_ema),
         )
         return new_state, metrics
 
@@ -468,6 +479,8 @@ def make_accum_train_step(cfg: Config, do_g_update: bool, axis_name=None,
             g_params=new_g_params, d_params=new_d_params,
             g_stats=new_g_stats, d_stats=new_d_stats, d_spectral=new_d_spectral,
             opt_g=new_opt_g, opt_d=new_opt_d, g_metrics=g_metrics,
+            g_ema=(_ema_update(cfg, state.g_ema, new_g_params)
+                   if do_g_update else state.g_ema),
         )
         return new_state, metrics
 
@@ -660,13 +673,15 @@ def make_paper_train_step(cfg: Config, axis_name=None,
                      "recon_loss": l_llike, "kl": l_prior}
         metrics = {"d_loss": dis_l, "d_real_loss": bce_real, "d_fake_loss": bce_fake,
                    "gp": jnp.zeros((), jnp.float32), **g_metrics, **debug}
+        new_g_params = merge_g(new_enc, new_dec)
         new_state = state.replace(
             step=state.step + 1,
-            g_params=merge_g(new_enc, new_dec), d_params=new_d,
+            g_params=new_g_params, d_params=new_d,
             g_stats=new_g_stats,
             d_stats=d_st["batch_stats"], d_spectral=d_st["spectral"],
             opt_g={"enc": opt_enc, "dec": opt_dec}, opt_d=opt_d,
             g_metrics=g_metrics,
+            g_ema=_ema_update(cfg, state.g_ema, new_g_params),
         )
         return new_state, metrics
 
@@ -762,12 +777,14 @@ def _make_paper_accum_step(cfg, axis_name, txs, lcfg, split_g, merge_g,
         metrics = {"d_loss": mean["d_loss"], "d_real_loss": mean["d_real_loss"],
                    "d_fake_loss": mean["d_fake_loss"],
                    "gp": jnp.zeros((), jnp.float32), **g_metrics}
+        new_g_params = merge_g(new_enc, new_dec)
         new_state = state.replace(
             step=state.step + 1,
-            g_params=merge_g(new_enc, new_dec), d_params=new_d,
+            g_params=new_g_params, d_params=new_d,
             g_stats=new_g_stats, d_stats=new_d_stats, d_spectral=new_d_spec,
             opt_g={"enc": opt_enc, "dec": opt_dec}, opt_d=opt_d,
             g_metrics=g_metrics,
+            g_ema=_ema_update(cfg, state.g_ema, new_g_params),
         )
         return new_state, metrics
 
