@@ -56,6 +56,8 @@ def main():
     ap.add_argument("--grad-accum", type=int, default=1,
                     help="microbatch accumulation (e.g. 4 at 256^2 batch 64: "
                          "the single-step GP graph OOMs 16 GB HBM past b16)")
+    ap.add_argument("--ema-decay", type=float, default=None,
+                    help="track a generator EMA and also report its eval MSE")
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--log-every", type=int, default=100)
     ap.add_argument("--seed", type=int, default=0)
@@ -68,7 +70,8 @@ def main():
                               lambda_gp=args.lambda_gp),
         optim=cfg.optim.replace(lr=args.lr, lr_g=args.lr_g, lr_d=args.lr_d),
         train=cfg.train.replace(dtype=args.dtype, n_critics=args.n_critics,
-                                seed=args.seed, grad_accum=args.grad_accum),
+                                seed=args.seed, grad_accum=args.grad_accum,
+                                ema_decay=args.ema_decay),
     )
 
     # whole dataset resident in HBM; batches gathered on-device. The training
@@ -138,10 +141,14 @@ def main():
         r = out[0] if cfg.generator.is_vae else out
         return jnp.mean(jnp.square(r.astype(jnp.float32) - batch.astype(jnp.float32)))
 
-    draws = []
+    draws, ema_draws = [], []
     for d in range(3):
         idx = jnp.asarray(rng.permutation(args.dataset)[: args.batch])
-        draws.append(float(jax.device_get(recon_mse(state, jnp.take(data, idx, 0)))))
+        b = jnp.take(data, idx, 0)
+        draws.append(float(jax.device_get(recon_mse(state, b))))
+        if state.g_ema is not None:
+            ema_draws.append(float(jax.device_get(
+                recon_mse(state.replace(g_params=state.g_ema), b))))
 
     scores = [abs(h["d_real"]) for h in history] + [abs(h["d_fake"]) for h in history]
     tail = history[-5:]
@@ -151,8 +158,10 @@ def main():
                   "n_critics": args.n_critics, "clip": args.clip,
                   "lambda_gp": args.lambda_gp, "dtype": args.dtype,
                   "steps": args.steps, "seed": args.seed,
-                  "grad_accum": args.grad_accum},
+                  "grad_accum": args.grad_accum, "ema_decay": args.ema_decay},
         "eval_mse_draws": [round(x, 4) for x in draws],
+        **({"ema_eval_mse_draws": [round(x, 4) for x in ema_draws]}
+           if ema_draws else {}),
         "max_abs_critic_score": round(max(scores), 2) if scores else None,
         "tail_recon": [round(h["recon"], 4) for h in tail],
         "wall_s": round(wall, 1),
