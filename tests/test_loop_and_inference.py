@@ -264,6 +264,24 @@ class TestResume:
         steps_run = sum(1 for m in logger.history if "_wall_s" not in m)
         assert steps_run == 4  # only the second epoch executed
 
+    def test_resume_round_trips_generator_ema(self, tmp_path):
+        """ema_decay on: the g_ema leaf is checkpointed and restored (and keeps
+        lagging the live params after resume)."""
+        cfg = tiny_cfg(tmp_path, checkpoint_dir=str(tmp_path / "ck"),
+                       checkpoint_every=2, ema_decay=0.9)
+        state1, _ = train(cfg)
+        assert state1.g_ema is not None
+        cfg2 = cfg.replace(train=cfg.train.replace(n_epochs=2))
+        state2, _ = train(cfg2, resume=True)
+        assert state2.g_ema is not None
+        leaves_e = jax.tree.leaves(state2.g_ema)
+        leaves_p = jax.tree.leaves(state2.g_params)
+        assert len(leaves_e) == len(leaves_p)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves_e)
+        # after 8 G updates the EMA still lags the live params
+        assert any(not np.allclose(np.asarray(a), np.asarray(b))
+                   for a, b in zip(leaves_e, leaves_p))
+
 
 class TestNeptuneSink:
     def test_reference_channel_protocol(self, tmp_path):
