@@ -181,6 +181,25 @@ class TestCli:
         out = capsys.readouterr().out
         assert "Mean squared error" in out
 
+    def test_eval_ema_flag(self, tmp_path, capsys, monkeypatch):
+        """train --ema-decay then eval --ema: the EMA leaf round-trips through
+        the checkpoint and the CLI evaluates the averaged generator."""
+        monkeypatch.chdir(tmp_path)
+        from vaegan_tpu.cli import main
+        cfg = tiny_base(tmp_path).replace(
+            generator=GeneratorConfig(depth=1, length=1, feature_size=8),
+            discriminator=DiscriminatorConfig(
+                num_stride_conv1=1, num_features_conv1=8, num_blocks=(1,),
+                num_strides_res=(2,), num_features_res=(16,), pool_size=2,
+                linear_widths=(16, 8, 8)))
+        cfg.to_json(str(tmp_path / "cfg.json"))
+        assert main(["train", "--config", str(tmp_path / "cfg.json"),
+                     "--ema-decay", "0.9",
+                     "--checkpoint", str(tmp_path / "ckpt")]) == 0
+        assert main(["eval", "--config", str(tmp_path / "cfg.json"), "--ema",
+                     "--checkpoint", str(tmp_path / "ckpt")]) == 0
+        assert "Mean squared error" in capsys.readouterr().out
+
     def test_export_command(self, tmp_path, capsys, monkeypatch):
         monkeypatch.chdir(tmp_path)
         from vaegan_tpu.cli import main

@@ -50,6 +50,11 @@ def _load_cfg(args):
         t = t.replace(grad_accum=args.grad_accum)
     if getattr(args, "ema_decay", None) is not None:
         t = t.replace(ema_decay=args.ema_decay)
+    if getattr(args, "ema", False) and t.ema_decay is None:
+        # inference commands with --ema: the restore template needs the g_ema
+        # leaf even when the config JSON predates EMA tracking; the decay value
+        # itself is irrelevant at eval time
+        t = t.replace(ema_decay=0.999)
     if getattr(args, "max_steps", None) is not None:
         # 0 = unbounded (matches examples/train_multichip.py), overriding any
         # budget in the loaded config
@@ -98,6 +103,8 @@ def cmd_eval(args):
 
     cfg = _load_cfg(args)
     state = _restore(cfg, args.checkpoint)
+    if getattr(args, "ema", False):
+        state = inference.with_ema(state)
     loader = make_loader(cfg.data, seed=cfg.train.seed)
     mse = inference.evaluate_mse(cfg, state, iter(loader), num_batches=args.num_batches)
     print(f"Mean squared error between original and reconstructed images: {mse:.4f}")
@@ -142,6 +149,8 @@ def cmd_sample(args):
 
     cfg = _load_cfg(args)
     state = _restore(cfg, args.checkpoint)
+    if getattr(args, "ema", False):
+        state = inference.with_ema(state)
     imgs = inference.sample(cfg, state, jax.random.key(args.seed or 0), n=args.num)
     save_image_grid(jax.device_get(imgs), args.output, nrow=5)
     print(f"wrote {args.num} prior samples to {args.output}")
@@ -158,6 +167,8 @@ def cmd_interpolate(args):
 
     cfg = _load_cfg(args)
     state = _restore(cfg, args.checkpoint)
+    if getattr(args, "ema", False):
+        state = inference.with_ema(state)
     loader = make_loader(cfg.data, seed=cfg.train.seed)
     batch = jnp.asarray(next(iter(loader)))
     seq = inference.interpolate(cfg, state, batch[:1], batch[1:2], steps=args.steps)
@@ -260,17 +271,23 @@ def main(argv=None) -> int:
 
     sp = sub.add_parser("eval", help="reconstruction MSE on data batches")
     common(sp, ckpt_required=True)
+    sp.add_argument("--ema", action="store_true",
+                    help="evaluate the generator-EMA iterate (requires a checkpoint trained with ema_decay)")
     sp.add_argument("--num-batches", type=int, default=1)
     sp.set_defaults(fn=cmd_eval)
 
     sp = sub.add_parser("sample", help="decode prior samples")
     common(sp, ckpt_required=True)
+    sp.add_argument("--ema", action="store_true",
+                    help="evaluate the generator-EMA iterate (requires a checkpoint trained with ema_decay)")
     sp.add_argument("-n", "--num", type=int, default=25)
     sp.add_argument("-o", "--output", default="samples.png")
     sp.set_defaults(fn=cmd_sample)
 
     sp = sub.add_parser("interpolate", help="latent interpolation between two images")
     common(sp, ckpt_required=True)
+    sp.add_argument("--ema", action="store_true",
+                    help="evaluate the generator-EMA iterate (requires a checkpoint trained with ema_decay)")
     sp.add_argument("--steps", type=int, default=8)
     sp.add_argument("-o", "--output", default="interpolation.png")
     sp.set_defaults(fn=cmd_interpolate)
