@@ -226,6 +226,60 @@ class TestCli:
         assert any(k.endswith("weight_orig") for k in d)
         assert any(k.endswith("weight_u") for k in d)
 
+    def test_import_command_roundtrip(self, tmp_path, capsys, monkeypatch):
+        """export -> import: the re-imported checkpoint reproduces the trained
+        model's eval MSE exactly (weights survive torch layout + back)."""
+        monkeypatch.chdir(tmp_path)
+        from vaegan_tpu.cli import main
+        cfg = tiny_base(tmp_path).replace(
+            generator=GeneratorConfig(depth=1, length=1, feature_size=8),
+            discriminator=DiscriminatorConfig(
+                num_stride_conv1=1, num_features_conv1=8, num_blocks=(1,),
+                num_strides_res=(2,), num_features_res=(16,), pool_size=2,
+                linear_widths=(16, 8, 8)))
+        cfg.to_json(str(tmp_path / "cfg.json"))
+        main(["train", "--config", str(tmp_path / "cfg.json"),
+              "--checkpoint", str(tmp_path / "ckpt")])
+        main(["export", "--config", str(tmp_path / "cfg.json"),
+              "--checkpoint", str(tmp_path / "ckpt"),
+              "--generator-out", str(tmp_path / "g.pt"),
+              "--discriminator-out", str(tmp_path / "d.pt")])
+        rc = main(["import", "--config", str(tmp_path / "cfg.json"),
+                   "--checkpoint", str(tmp_path / "ckpt2"),
+                   "--generator", str(tmp_path / "g.pt"),
+                   "--discriminator", str(tmp_path / "d.pt")])
+        assert rc == 0
+        assert "imported generator" in capsys.readouterr().out
+        assert main(["eval", "--config", str(tmp_path / "cfg.json"),
+                     "--checkpoint", str(tmp_path / "ckpt")]) == 0
+        mse_orig = capsys.readouterr().out
+        assert main(["eval", "--config", str(tmp_path / "cfg.json"),
+                     "--checkpoint", str(tmp_path / "ckpt2")]) == 0
+        mse_imported = capsys.readouterr().out
+        assert mse_orig == mse_imported  # same printed 4-decimal MSE
+
+    def test_import_wrong_architecture_errors(self, tmp_path, monkeypatch):
+        """A state_dict from a different architecture fails loudly, not at
+        some later orbax restore."""
+        monkeypatch.chdir(tmp_path)
+        import numpy as np
+        import pytest
+
+        from vaegan_tpu.cli import main
+        cfg = tiny_base(tmp_path).replace(
+            generator=GeneratorConfig(depth=1, length=1, feature_size=8),
+            discriminator=DiscriminatorConfig(
+                num_stride_conv1=1, num_features_conv1=8, num_blocks=(1,),
+                num_strides_res=(2,), num_features_res=(16,), pool_size=2,
+                linear_widths=(16, 8, 8)))
+        cfg.to_json(str(tmp_path / "cfg.json"))
+        np.savez(str(tmp_path / "bogus.npz"),
+                 **{"encoder.encoder.bogus.weight": np.zeros((4, 4, 3, 3))})
+        with pytest.raises(ValueError, match="does not match"):
+            main(["import", "--config", str(tmp_path / "cfg.json"),
+                  "--checkpoint", str(tmp_path / "ckpt3"),
+                  "--generator", str(tmp_path / "bogus.npz")])
+
     def test_sample_command(self, tmp_path, capsys, monkeypatch):
         monkeypatch.chdir(tmp_path)
         from vaegan_tpu.cli import main

@@ -7,6 +7,7 @@ The reference has no CLI (it is a notebook); this exposes the framework's surfac
     python -m vaegan_tpu.cli eval --checkpoint ckpt/ --preset vae_96 --data-dir nii
     python -m vaegan_tpu.cli sample --checkpoint ckpt/ --preset notebook -n 25 -o out.png
     python -m vaegan_tpu.cli interpolate --checkpoint ckpt/ ... -o interp.png
+    python -m vaegan_tpu.cli import --generator g.pt --checkpoint ckpt/ --preset notebook
     python -m vaegan_tpu.cli search --trials 8 --results result/params.json
     python -m vaegan_tpu.cli print-config --preset vaegan_paper
     python -m vaegan_tpu.cli fetch-data --dest nii
@@ -141,6 +142,40 @@ def cmd_export(args):
         return 0
 
 
+def cmd_import(args):
+    """Reference torch state_dicts -> a framework checkpoint (inverse of export)."""
+    import numpy as np
+
+    from vaegan_tpu.checkpoint import CheckpointManager
+    from vaegan_tpu.interop import import_reference_state_dicts
+
+    def load_sd(path):
+        if path.endswith(".npz"):
+            with np.load(path) as z:
+                return {k: z[k] for k in z.files}
+        try:
+            import torch
+        except ImportError:
+            raise SystemExit(
+                f"torch is unavailable; convert {path} to .npz first "
+                "(np.savez(path, **{k: v.numpy() for k, v in sd.items()}))")
+        return torch.load(path, map_location="cpu", weights_only=True)
+
+    cfg = _load_cfg(args)
+    gen_sd = load_sd(args.generator)
+    disc_sd = load_sd(args.discriminator) if args.discriminator else None
+    state = import_reference_state_dicts(cfg, gen_sd, disc_sd)
+    mgr = CheckpointManager(args.checkpoint)
+    mgr.save(state, force=True)
+    mgr.wait()
+    mgr.close()
+    critic = (f"critic from {args.discriminator}" if args.discriminator
+              else "fresh-initialized critic")
+    print(f"imported generator from {args.generator} ({len(gen_sd)} tensors), "
+          f"{critic} -> checkpoint at {args.checkpoint} (step 0)")
+    return 0
+
+
 def cmd_sample(args):
     import jax
 
@@ -268,6 +303,17 @@ def main(argv=None) -> int:
     sp.add_argument("--generator-out", default="generator_state_dict.pt")
     sp.add_argument("--discriminator-out", default="discriminator_state_dict.pt")
     sp.set_defaults(fn=cmd_export)
+
+    sp = sub.add_parser("import",
+                        help="import reference-notebook torch state_dicts "
+                             "(.pt or .npz) as a framework checkpoint")
+    common(sp, ckpt_required=True)
+    sp.add_argument("--generator", required=True,
+                    help="UnsupervisedGeneratorNetwork.state_dict() file")
+    sp.add_argument("--discriminator",
+                    help="Discriminator.state_dict() file (optional; the "
+                         "reference's experiment() only returns the generator)")
+    sp.set_defaults(fn=cmd_import)
 
     sp = sub.add_parser("eval", help="reconstruction MSE on data batches")
     common(sp, ckpt_required=True)

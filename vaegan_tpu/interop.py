@@ -376,3 +376,67 @@ def export_reference_state_dicts(cfg, state):
          "spectral": state.d_spectral},
         pool_shape=critic_pool_shape(cfg))
     return gen_sd, disc_sd
+
+
+def _graft(template_tree, imported_tree, what: str):
+    """Replace ``template_tree``'s leaves with ``imported_tree``'s, enforcing
+    identical structure and shapes (clear errors beat orbax restore mismatches
+    three commands later)."""
+    import jax
+
+    t_struct = jax.tree_util.tree_structure(template_tree)
+    i_struct = jax.tree_util.tree_structure(imported_tree)
+    if t_struct != i_struct:
+        t_paths = {jax.tree_util.keystr(p) for p, _ in
+                   jax.tree_util.tree_flatten_with_path(template_tree)[0]}
+        i_paths = {jax.tree_util.keystr(p) for p, _ in
+                   jax.tree_util.tree_flatten_with_path(imported_tree)[0]}
+        raise ValueError(
+            f"{what}: imported tree does not match the config's model structure; "
+            f"missing={sorted(t_paths - i_paths)[:8]} "
+            f"unexpected={sorted(i_paths - t_paths)[:8]} "
+            f"(is --preset/--config the architecture this state_dict came from?)")
+    def leaf(t, i):
+        i = np.asarray(i)
+        if tuple(t.shape) != tuple(i.shape):
+            raise ValueError(
+                f"{what}: shape mismatch {tuple(i.shape)} vs expected "
+                f"{tuple(t.shape)} — wrong architecture config for this state_dict")
+        return i.astype(t.dtype)
+    return jax.tree.map(leaf, template_tree, imported_tree)
+
+
+def import_reference_state_dicts(cfg, gen_sd: Mapping[str, Any],
+                                 disc_sd: Optional[Mapping[str, Any]] = None):
+    """Build a :class:`TrainState` from the reference notebook's ``state_dict``
+    layouts (the inverse of :func:`export_reference_state_dicts`).
+
+    ``gen_sd`` is ``UnsupervisedGeneratorNetwork.state_dict()``; ``disc_sd`` is
+    ``Discriminator.state_dict()`` (optional — the reference's experiment only
+    returns the trained generator, README.md:935, so a critic may not exist; a
+    fresh-initialized critic is kept in that case). Optimizer states are fresh
+    (torch optimizer internals are not portable) and ``step`` starts at 0."""
+    import jax
+
+    from vaegan_tpu.train.state import create_train_state
+
+    template = create_train_state(cfg, jax.random.key(cfg.train.seed))
+    gv = reference_generator_to_variables(gen_sd)
+    state = template.replace(
+        g_params=_graft(template.g_params, gv["params"], "generator params"),
+        g_stats=_graft(template.g_stats, gv.get("batch_stats", {}),
+                       "generator batch_stats"),
+    )
+    if state.g_ema is not None:
+        state = state.replace(g_ema=jax.tree.map(np.copy, state.g_params))
+    if disc_sd is not None:
+        dv = reference_discriminator_to_variables(
+            disc_sd, pool_shape=critic_pool_shape(cfg))
+        state = state.replace(
+            d_params=_graft(template.d_params, dv["params"], "critic params"),
+            d_stats=_graft(template.d_stats, dv.get("batch_stats", {}),
+                           "critic batch_stats"),
+            d_spectral=_graft(template.d_spectral, dv.get("spectral", {}),
+                              "critic spectral (u, v)"),
+        )
+    return state
