@@ -200,6 +200,46 @@ class TestCli:
                      "--checkpoint", str(tmp_path / "ckpt")]) == 0
         assert "Mean squared error" in capsys.readouterr().out
 
+    def test_eval_ema_checkpoint_without_flag_uses_live_params(
+            self, tmp_path, capsys, monkeypatch):
+        """An EMA-trained checkpoint restores for plain eval too — the template
+        adapts to what the checkpoint carries (review finding, round 3)."""
+        monkeypatch.chdir(tmp_path)
+        from vaegan_tpu.cli import main
+        cfg = tiny_base(tmp_path).replace(
+            generator=GeneratorConfig(depth=1, length=1, feature_size=8),
+            discriminator=DiscriminatorConfig(
+                num_stride_conv1=1, num_features_conv1=8, num_blocks=(1,),
+                num_strides_res=(2,), num_features_res=(16,), pool_size=2,
+                linear_widths=(16, 8, 8)))
+        cfg.to_json(str(tmp_path / "cfg.json"))
+        assert main(["train", "--config", str(tmp_path / "cfg.json"),
+                     "--ema-decay", "0.9",
+                     "--checkpoint", str(tmp_path / "ckpt")]) == 0
+        # no --ema: live params of the EMA checkpoint
+        assert main(["eval", "--config", str(tmp_path / "cfg.json"),
+                     "--checkpoint", str(tmp_path / "ckpt")]) == 0
+        assert "Mean squared error" in capsys.readouterr().out
+
+    def test_eval_ema_flag_on_plain_checkpoint_errors_clearly(
+            self, tmp_path, capsys, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        import pytest
+
+        from vaegan_tpu.cli import main
+        cfg = tiny_base(tmp_path).replace(
+            generator=GeneratorConfig(depth=1, length=1, feature_size=8),
+            discriminator=DiscriminatorConfig(
+                num_stride_conv1=1, num_features_conv1=8, num_blocks=(1,),
+                num_strides_res=(2,), num_features_res=(16,), pool_size=2,
+                linear_widths=(16, 8, 8)))
+        cfg.to_json(str(tmp_path / "cfg.json"))
+        assert main(["train", "--config", str(tmp_path / "cfg.json"),
+                     "--checkpoint", str(tmp_path / "ckpt")]) == 0
+        with pytest.raises(ValueError, match="no generator EMA"):
+            main(["eval", "--config", str(tmp_path / "cfg.json"), "--ema",
+                  "--checkpoint", str(tmp_path / "ckpt")])
+
     def test_export_command(self, tmp_path, capsys, monkeypatch):
         monkeypatch.chdir(tmp_path)
         from vaegan_tpu.cli import main

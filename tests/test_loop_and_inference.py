@@ -282,6 +282,30 @@ class TestResume:
         assert any(not np.allclose(np.asarray(a), np.asarray(b))
                    for a, b in zip(leaves_e, leaves_p))
 
+    def test_resume_ema_checkpoint_without_flag_errors_clearly(self, tmp_path):
+        """Resuming an EMA-trained checkpoint without ema_decay must raise an
+        actionable error, not orbax's structure-mismatch traceback."""
+        import pytest
+        cfg = tiny_cfg(tmp_path, checkpoint_dir=str(tmp_path / "ck"),
+                       checkpoint_every=2, ema_decay=0.9)
+        train(cfg)
+        cfg2 = cfg.replace(train=cfg.train.replace(n_epochs=2, ema_decay=None))
+        with pytest.raises(ValueError, match="ema_decay"):
+            train(cfg2, resume=True)
+
+    def test_resume_pre_ema_checkpoint_starts_ema_from_restored_params(self, tmp_path):
+        """Turning EMA on when resuming an older (no-EMA) checkpoint restores
+        cleanly and seeds the average from the restored params."""
+        cfg = tiny_cfg(tmp_path, checkpoint_dir=str(tmp_path / "ck"),
+                       checkpoint_every=2)
+        train(cfg)
+        cfg2 = cfg.replace(train=cfg.train.replace(n_epochs=2, ema_decay=0.9))
+        state2, _ = train(cfg2, resume=True)
+        assert int(jax.device_get(state2.step)) == 8
+        assert state2.g_ema is not None
+        assert all(np.isfinite(np.asarray(l)).all()
+                   for l in jax.tree.leaves(state2.g_ema))
+
 
 class TestNeptuneSink:
     def test_reference_channel_protocol(self, tmp_path):

@@ -74,10 +74,8 @@ def main():
                                 ema_decay=args.ema_decay),
     )
 
-    # whole dataset resident in HBM; batches gathered on-device. The training
-    # loop is dispatched in CHUNKS: one jitted call scans `--log-every` steps
-    # (grouped as 1 G-step + n_critics-1 D-steps, the loop.py schedule), so the
-    # dev tunnel sees ~steps/log_every dispatches instead of one per step.
+    # whole dataset resident in HBM; batches gathered on-device (inside the
+    # jit), one jitted dispatch per step — see the comment on run_step below.
     ds = SyntheticDataset(args.dataset, args.image_size, seed=0)
     data = jax.device_put(jnp.asarray(ds.load_batch(range(args.dataset))))
 

@@ -42,6 +42,34 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
+    def saved_has_g_ema(self, step: Optional[int] = None) -> bool:
+        """Whether the saved TrainState carries a generator-EMA leaf — lets
+        callers build a structurally matching restore template regardless of
+        the *current* config's ``ema_decay`` (a checkpoint knows what it was
+        trained with better than the flags of the restoring process)."""
+        step = self._mgr.latest_step() if step is None else step
+        if step is None:
+            return False
+        md = self._mgr.item_metadata(step)
+        tree = getattr(md, "tree", None) if md is not None else None
+        if tree is not None:
+            return tree.get("g_ema") is not None
+        # a manager that hasn't saved/restored this run yet returns None above;
+        # the tree metadata JSON orbax writes alongside the arrays still knows
+        import json
+
+        p = os.path.join(self.directory, str(step), "default", "_METADATA")
+        try:
+            with open(p) as f:
+                tm = json.load(f)["tree_metadata"]
+        except (OSError, KeyError, ValueError):
+            return False
+        for entry in tm.values():
+            keys = [k.get("key") for k in entry.get("key_metadata", [])]
+            if keys and keys[0] == "g_ema":
+                return entry["value_metadata"]["value_type"] != "None"
+        return False
+
     def wait(self) -> None:
         self._mgr.wait_until_finished()
 

@@ -51,11 +51,6 @@ def _load_cfg(args):
         t = t.replace(grad_accum=args.grad_accum)
     if getattr(args, "ema_decay", None) is not None:
         t = t.replace(ema_decay=args.ema_decay)
-    if getattr(args, "ema", False) and t.ema_decay is None:
-        # inference commands with --ema: the restore template needs the g_ema
-        # leaf even when the config JSON predates EMA tracking; the decay value
-        # itself is irrelevant at eval time
-        t = t.replace(ema_decay=0.999)
     if getattr(args, "max_steps", None) is not None:
         # 0 = unbounded (matches examples/train_multichip.py), overriding any
         # budget in the loaded config
@@ -69,8 +64,18 @@ def _restore(cfg, ckpt_dir):
     from vaegan_tpu.checkpoint import CheckpointManager
     from vaegan_tpu.train import create_train_state
 
-    template = create_train_state(cfg, jax.random.key(cfg.train.seed))
     mgr = CheckpointManager(ckpt_dir)
+    # match the template's g_ema leaf to what the checkpoint actually carries
+    # (the decay VALUE is irrelevant at inference) so restore works whether or
+    # not the current flags/config mention ema_decay
+    t = cfg.train
+    if mgr.saved_has_g_ema():
+        tmpl_cfg = cfg if t.ema_decay is not None else cfg.replace(
+            train=t.replace(ema_decay=0.999))
+    else:
+        tmpl_cfg = cfg if t.ema_decay is None else cfg.replace(
+            train=t.replace(ema_decay=None))
+    template = create_train_state(tmpl_cfg, jax.random.key(t.seed))
     state = mgr.restore(template)
     mgr.close()
     return state

@@ -53,11 +53,18 @@ def fetch_dataset(url: str = REFERENCE_DATASET_URL, dest: str = "nii",
             data = r.read()
 
     n = 0
+    seen: dict = {}
     with zipfile.ZipFile(io.BytesIO(data)) as zf:
         for member in zf.infolist():
             name = Path(member.filename).name
             if member.is_dir() or not name.endswith((".nii", ".nii.gz")):
                 continue
+            if name in seen:  # flattening must not silently drop data
+                raise ValueError(
+                    f"archive has duplicate basenames ({seen[name]!r} and "
+                    f"{member.filename!r} both flatten to {name!r}); extract "
+                    f"it manually and pass the flat directory via --data-dir")
+            seen[name] = member.filename
             with zf.open(member) as src, open(dest_dir / name, "wb") as out:
                 shutil.copyfileobj(src, out)
             n += 1

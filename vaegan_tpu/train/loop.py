@@ -23,6 +23,7 @@ from pathlib import Path
 from typing import Any, Callable, Iterable, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 
 from vaegan_tpu.config import Config
 from vaegan_tpu.data.pipeline import device_prefetch, make_loader
@@ -113,7 +114,21 @@ def train(
         from vaegan_tpu.checkpoint import CheckpointManager
         ckpt = CheckpointManager(tcfg.checkpoint_dir)
         if resume and ckpt.latest_step() is not None:
-            state = ckpt.restore(state)
+            saved_ema = ckpt.saved_has_g_ema()
+            if saved_ema and state.g_ema is None:
+                # resuming without the flag would silently stop EMA tracking
+                # mid-run (and orbax's structure-mismatch error is cryptic)
+                raise ValueError(
+                    f"checkpoint at {tcfg.checkpoint_dir} carries a generator "
+                    "EMA; pass the same ema_decay (--ema-decay) to resume")
+            if not saved_ema and state.g_ema is not None:
+                # checkpoint predates EMA tracking: restore without the leaf,
+                # then start the average from the restored params
+                restored = ckpt.restore(state.replace(g_ema=None))
+                state = restored.replace(
+                    g_ema=jax.tree.map(jnp.copy, restored.g_params))
+            else:
+                state = ckpt.restore(state)
             start_step = int(jax.device_get(state.step))
 
     sample_dir = Path(tcfg.sample_dir)

@@ -52,7 +52,8 @@ def build_optimizer(cfg: OptimConfig, role: str = None) -> optax.GradientTransfo
     """``role``: "g" / "d" selects the per-network learning rate
     (``cfg.lr_g`` / ``cfg.lr_d``, TTUR split) when set; None / unset roles use
     ``cfg.lr`` — the reference's single shared lr (README.md:918-919)."""
-    lr = {"g": cfg.lr_g, "d": cfg.lr_d}.get(role) or cfg.lr
+    role_lr = {"g": cfg.lr_g, "d": cfg.lr_d}.get(role)
+    lr = role_lr if role_lr is not None else cfg.lr  # 0.0 = freeze, not "unset"
     if cfg.optimizer == "rmsprop":
         return torch_rmsprop(lr, cfg.rms_decay, cfg.eps, cfg.weight_decay)
     if cfg.optimizer == "adam":
