@@ -169,6 +169,62 @@ def bench_roofline(preset_name: str = "notebook") -> None:
     }))
 
 
+def bench_infer() -> None:
+    """Serving-side numbers the reference has no analogue for: eval-mode
+    reconstruction throughput (the encode+decode path behind
+    ``visualize_reconstructions``/``evaluate_mse``), prior-sample decode
+    throughput, and batch-1 reconstruction latency."""
+    batch_size = int(os.environ.get("BENCH_BATCH", 128))
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    n_steps = int(os.environ.get("BENCH_STEPS", 20))
+    image = int(os.environ.get("BENCH_IMAGE", 96))
+
+    from vaegan_tpu import inference
+    from vaegan_tpu.config import preset
+    from vaegan_tpu.train import create_train_state
+
+    cfg = preset("notebook")
+    cfg = cfg.replace(
+        data=cfg.data.replace(image_size=image, batch_size=batch_size),
+        train=cfg.train.replace(dtype=dtype))
+    state = create_train_state(cfg, jax.random.key(0))
+    key = jax.random.key(2, impl=cfg.train.rng_impl)
+
+    def sync(out):
+        o = out[0] if isinstance(out, tuple) else out
+        float(jax.device_get(o.reshape(-1)[0]))  # hard sync (tunnel-safe)
+
+    def timed(fn, n=n_steps, per_call_imgs=batch_size):
+        sync(fn())  # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(n - 1):
+            fn()
+        sync(fn())
+        dt = time.perf_counter() - t0
+        return per_call_imgs * n / dt, dt / n
+
+    batch = jax.random.uniform(jax.random.key(1), (batch_size, image, image, 1),
+                               jnp.float32)
+    recon_rate, _ = timed(lambda: inference.reconstruct(cfg, state, batch))
+    sample_rate, _ = timed(lambda: inference.sample(cfg, state, key, n=batch_size))
+    one = batch[:1]
+    _, lat1 = timed(lambda: inference.reconstruct(cfg, state, one), per_call_imgs=1)
+
+    print(json.dumps({
+        "metric": f"{image}x{image} eval-mode reconstruction images/sec/chip "
+                  f"(batch {batch_size}, {dtype})",
+        "value": round(recon_rate, 1), "unit": "images/sec/chip",
+        "vs_baseline": round(recon_rate / 5000.0, 3)}))
+    print(json.dumps({
+        "metric": f"{image}x{image} prior-sample decode images/sec/chip "
+                  f"(batch {batch_size}, {dtype})",
+        "value": round(sample_rate, 1), "unit": "images/sec/chip",
+        "vs_baseline": round(sample_rate / 5000.0, 3)}))
+    print(json.dumps({
+        "metric": f"{image}x{image} batch-1 reconstruction latency",
+        "value": round(lat1 * 1e3, 2), "unit": "ms", "vs_baseline": None}))
+
+
 def main(preset_name: str = "notebook") -> None:
     """Default: the notebook WGAN-GP step (the headline). ``--paper`` measures
     the Larsen three-optimizer step (BASELINE config 3); ``--vae`` the plain-VAE
@@ -229,6 +285,8 @@ def main(preset_name: str = "notebook") -> None:
 if __name__ == "__main__":
     if "--loader" in sys.argv:
         bench_loader()
+    elif "--infer" in sys.argv:
+        bench_infer()
     elif "--roofline" in sys.argv:
         bench_roofline("vaegan_paper" if "--paper" in sys.argv
                        else "notebook_vae" if "--vae" in sys.argv
