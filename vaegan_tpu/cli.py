@@ -8,6 +8,7 @@ The reference has no CLI (it is a notebook); this exposes the framework's surfac
     python -m vaegan_tpu.cli sample --checkpoint ckpt/ --preset notebook -n 25 -o out.png
     python -m vaegan_tpu.cli interpolate --checkpoint ckpt/ ... -o interp.png
     python -m vaegan_tpu.cli import --generator g.pt --checkpoint ckpt/ --preset notebook
+    python -m vaegan_tpu.cli export-serving --checkpoint ckpt/ --out bundle/
     python -m vaegan_tpu.cli search --trials 8 --results result/params.json
     python -m vaegan_tpu.cli print-config --preset vaegan_paper
     python -m vaegan_tpu.cli fetch-data --dest nii
@@ -98,6 +99,24 @@ def cmd_train(args):
         state, logger = train(cfg, logger=logger, resume=getattr(args, "resume", False))
     logger.close()
     print(f"done: {sum(1 for m in logger.history if '_wall_s' not in m)} steps")
+    return 0
+
+
+def cmd_export_serving(args):
+    """Checkpoint -> self-contained StableHLO serving bundle (jax.export)."""
+    from vaegan_tpu import inference, serving
+
+    cfg = _load_cfg(args)
+    state = _restore(cfg, args.checkpoint)
+    if getattr(args, "ema", False):
+        state = inference.with_ema(state)
+    platforms = tuple(p.strip() for p in args.platforms.split(",") if p.strip())
+    mpath = serving.save_bundle(
+        args.out, cfg, state, platforms=platforms,
+        batch_size=args.batch or None,
+        image_size=getattr(args, "image_size", None))
+    print(f"serving bundle ({', '.join(platforms)}; batch "
+          f"{'symbolic' if not args.batch else args.batch}) -> {mpath}")
     return 0
 
 
@@ -319,6 +338,22 @@ def main(argv=None) -> int:
                     help="Discriminator.state_dict() file (optional; the "
                          "reference's experiment() only returns the generator)")
     sp.set_defaults(fn=cmd_import)
+
+    sp = sub.add_parser("export-serving",
+                        help="export a checkpoint as a self-contained StableHLO "
+                             "serving bundle (reconstruct/encode/decode; loads "
+                             "with jax alone, no model code)")
+    common(sp, ckpt_required=True)
+    sp.add_argument("--out", default="serving_bundle",
+                    help="output bundle directory")
+    sp.add_argument("--platforms", default="cpu,tpu",
+                    help="comma-separated lowering platforms (default cpu,tpu)")
+    sp.add_argument("--batch", type=int, default=0,
+                    help="pin the batch dimension (default 0 = symbolic: one "
+                         "artifact serves any batch size)")
+    sp.add_argument("--ema", action="store_true",
+                    help="export the generator-EMA iterate")
+    sp.set_defaults(fn=cmd_export_serving)
 
     sp = sub.add_parser("eval", help="reconstruction MSE on data batches")
     common(sp, ckpt_required=True)
