@@ -131,8 +131,12 @@ def bench_roofline(preset_name: str = "notebook") -> None:
         train=cfg.train.replace(dtype=dtype),
     )
     state = create_train_state(cfg, jax.random.key(0))
+    # BENCH_GP_EVERY > 1 attributes the lazy-regularization OFF-step (no GP
+    # term, no grad-of-grad) — the variant that runs (k-1)/k of the time under
+    # cfg.train.gp_every = k; the GP step itself is the default attribution.
+    no_gp = int(os.environ.get("BENCH_GP_EVERY", 1)) > 1
     step = (make_paper_train_step(cfg) if cfg.optim.scheme == "three"
-            else make_train_step(cfg, do_g_update=True))
+            else make_train_step(cfg, do_g_update=True, do_gp=not no_gp))
     batch = jax.random.uniform(jax.random.key(1), (batch_size, image, image, 1))
     key = jax.random.key(2, impl=cfg.train.rng_impl)
     lowered = jax.jit(step, donate_argnums=0).lower(state, batch, key)
@@ -156,6 +160,8 @@ def bench_roofline(preset_name: str = "notebook") -> None:
     implied_gbs = bytes_ / step_s / 1e9
     label = {"notebook": "VAE-GAN", "vaegan_paper": "Larsen-paper",
              "notebook_vae": "plain-VAE"}.get(preset_name, preset_name)
+    if no_gp:
+        label += " no-GP off-step"
     print(json.dumps({
         "metric": f"roofline attribution, {label} step (achieved-BW-normalized)",
         "achieved_hbm_gbs_triad": round(achieved_gbs, 1),
@@ -234,6 +240,7 @@ def main(preset_name: str = "notebook") -> None:
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     n_steps = int(os.environ.get("BENCH_STEPS", 20))
     image = int(os.environ.get("BENCH_IMAGE", 96))
+    gp_every = int(os.environ.get("BENCH_GP_EVERY", 1))
 
     from vaegan_tpu.config import preset
     from vaegan_tpu.train import (
@@ -243,7 +250,7 @@ def main(preset_name: str = "notebook") -> None:
     cfg = cfg.replace(
         data=cfg.data.replace(image_size=image, batch_size=batch_size),
         train=cfg.train.replace(
-            dtype=dtype,
+            dtype=dtype, gp_every=gp_every,
             critic_batching=os.environ.get("BENCH_CRITIC_BATCHING", "separate"),
         ),
     )
@@ -252,6 +259,15 @@ def main(preset_name: str = "notebook") -> None:
     step_fn = (make_paper_train_step(cfg) if cfg.optim.scheme == "three"
                else make_train_step(cfg, do_g_update=True))
     step = jax.jit(step_fn, donate_argnums=0)
+    step_nogp = None
+    if gp_every > 1 and cfg.optim.scheme != "three":
+        # lazy GP: alternate the two compiled variants at the loop's cadence and
+        # report the AMORTIZED rate (1 GP step per gp_every)
+        step_nogp = jax.jit(make_train_step(cfg, do_g_update=True, do_gp=False),
+                            donate_argnums=0)
+
+    def pick(i):
+        return step if (step_nogp is None or i % gp_every == 0) else step_nogp
     batch = jax.random.uniform(jax.random.key(1), (batch_size, image, image, 1), jnp.float32)
     # the shipped training loop's key stream (TrainConfig.rng_impl, default rbg —
     # the hardware-friendly counter RNG; threefry costs ~15% of the generator
@@ -260,22 +276,25 @@ def main(preset_name: str = "notebook") -> None:
 
     # compile + warmup. NOTE: sync via device_get of a value — on the tunneled
     # axon backend block_until_ready returns before execution completes.
-    for i in range(3):
-        state, metrics = step(state, batch, jax.random.fold_in(key, i))
+    for i in range(3 if step_nogp is None else 2 * gp_every):
+        state, metrics = pick(i)(state, batch, jax.random.fold_in(key, i))
     float(jax.device_get(metrics["d_loss"]))
 
+    if step_nogp is not None:  # time whole gp_every-sized cycles
+        n_steps = max(gp_every, n_steps - n_steps % gp_every)
     t0 = time.perf_counter()
     for i in range(n_steps):
-        state, metrics = step(state, batch, jax.random.fold_in(key, 100 + i))
+        state, metrics = pick(i)(state, batch, jax.random.fold_in(key, 100 + i))
     float(jax.device_get(metrics["d_loss"]))
     dt = time.perf_counter() - t0
 
     imgs_per_sec = batch_size * n_steps / dt
     label = {"notebook": "VAE-GAN", "vaegan_paper": "Larsen-paper",
              "notebook_vae": "plain-VAE"}.get(preset_name, preset_name)
+    lazy = "" if step_nogp is None else f", lazy GP 1/{gp_every}"
     print(json.dumps({
         "metric": f"{image}x{image} {label} train-step images/sec/chip "
-                  f"(batch {batch_size}, {dtype})",
+                  f"(batch {batch_size}, {dtype}{lazy})",
         "value": round(imgs_per_sec, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(imgs_per_sec / 5000.0, 3),

@@ -461,3 +461,79 @@ class TestGeneratorEMA:
         cfg = tiny_config()
         with pytest.raises(ValueError, match="ema_decay"):
             cfg.replace(train=cfg.train.replace(ema_decay=1.5))
+
+
+class TestLazyGP:
+    """Lazy gradient-penalty schedule (cfg.train.gp_every; StyleGAN2-style
+    amortization of the GP grad-of-grad — opt-in, no reference analogue)."""
+
+    def test_no_gp_variant_skips_penalty(self):
+        cfg = tiny_config()
+        state = create_train_state(cfg, jax.random.key(0))
+        step = jax.jit(make_train_step(cfg, do_g_update=True, do_gp=False))
+        _, metrics = step(state, batch_of(cfg, jax.random.key(1)), jax.random.key(2))
+        assert float(metrics["gp"]) == 0.0
+        np.testing.assert_allclose(
+            float(metrics["d_loss"]),
+            float(metrics["d_real_loss"]) + float(metrics["d_fake_loss"]),
+            rtol=1e-6)
+
+    def test_gp_step_scales_lambda_by_gp_every(self):
+        """On GP steps, lambda_gp is multiplied by gp_every so the time-averaged
+        regularization pressure matches the every-step baseline."""
+        cfg1 = tiny_config()
+        cfg4 = cfg1.replace(train=cfg1.train.replace(gp_every=4))
+        s1 = create_train_state(cfg1, jax.random.key(0))
+        s4 = create_train_state(cfg4, jax.random.key(0))
+        b, k = batch_of(cfg1, jax.random.key(1)), jax.random.key(2)
+        _, m1 = jax.jit(make_train_step(cfg1, do_g_update=True))(s1, b, k)
+        _, m4 = jax.jit(make_train_step(cfg4, do_g_update=True))(s4, b, k)
+        # identical seeds -> identical penalty value; only its weight differs
+        np.testing.assert_allclose(float(m4["gp"]), float(m1["gp"]), rtol=1e-6)
+        lam = cfg1.loss.lambda_gp
+        np.testing.assert_allclose(
+            float(m4["d_loss"]) - float(m1["d_loss"]),
+            (4 - 1) * lam * float(m1["gp"]), rtol=1e-4)
+
+    def test_rng_alignment_across_variants(self):
+        """The off-step consumes the same split width: everything except the
+        GP term is bitwise identical between do_gp variants."""
+        cfg = tiny_config()
+        state = create_train_state(cfg, jax.random.key(0))
+        b, k = batch_of(cfg, jax.random.key(1)), jax.random.key(2)
+        _, m_on = jax.jit(make_train_step(cfg, do_g_update=True))(state, b, k)
+        state2 = create_train_state(cfg, jax.random.key(0))
+        _, m_off = jax.jit(make_train_step(cfg, do_g_update=True, do_gp=False))(
+            state2, b, k)
+        for key in ("d_real_loss", "d_fake_loss"):
+            np.testing.assert_allclose(float(m_off[key]), float(m_on[key]),
+                                       rtol=1e-6, err_msg=key)
+
+    def test_accum_variant_supports_do_gp(self):
+        cfg = tiny_config()
+        cfg = cfg.replace(train=cfg.train.replace(grad_accum=2, gp_every=2))
+        state = create_train_state(cfg, jax.random.key(0))
+        step = jax.jit(make_train_step(cfg, do_g_update=True, do_gp=False))
+        _, metrics = step(state, batch_of(cfg, jax.random.key(1)), jax.random.key(2))
+        assert float(metrics["gp"]) == 0.0
+
+    def test_loop_schedules_gp_every(self, tmp_path):
+        """train() runs the GP variant exactly on steps where
+        global_step % gp_every == 0."""
+        from vaegan_tpu.train.loop import train
+        base = tiny_config()
+        cfg = base.replace(
+            data=base.data.replace(synthetic=True, synthetic_size=8),
+            train=base.train.replace(
+                n_epochs=2, gp_every=2, sample_interval=0,
+                sample_dir=str(tmp_path / "s")))
+        _, logger = train(cfg)
+        gps = [m["gp"] for m in logger.history if "gp" in m]
+        assert len(gps) == 4
+        assert gps[1] == 0.0 and gps[3] == 0.0   # off-steps
+        assert gps[0] != 0.0 and gps[2] != 0.0   # GP steps
+
+    def test_gp_every_validated(self):
+        cfg = tiny_config()
+        with pytest.raises(ValueError, match="gp_every"):
+            cfg.replace(train=cfg.train.replace(gp_every=0))

@@ -58,6 +58,8 @@ def main():
                          "the single-step GP graph OOMs 16 GB HBM past b16)")
     ap.add_argument("--ema-decay", type=float, default=None,
                     help="track a generator EMA and also report its eval MSE")
+    ap.add_argument("--gp-every", type=int, default=1,
+                    help="lazy GP cadence (lambda_gp scaled by k on GP steps)")
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--log-every", type=int, default=100)
     ap.add_argument("--seed", type=int, default=0)
@@ -71,7 +73,8 @@ def main():
         optim=cfg.optim.replace(lr=args.lr, lr_g=args.lr_g, lr_d=args.lr_d),
         train=cfg.train.replace(dtype=args.dtype, n_critics=args.n_critics,
                                 seed=args.seed, grad_accum=args.grad_accum,
-                                ema_decay=args.ema_decay),
+                                ema_decay=args.ema_decay,
+                                gp_every=args.gp_every),
     )
 
     # whole dataset resident in HBM; batches gathered on-device (inside the
@@ -80,8 +83,6 @@ def main():
     data = jax.device_put(jnp.asarray(ds.load_batch(range(args.dataset))))
 
     state = create_train_state(cfg, jax.random.key(args.seed))
-    step_g_fn = make_train_step(cfg, do_g_update=True)
-    step_d_fn = make_train_step(cfg, do_g_update=False)
     key = jax.random.key(args.seed, impl=cfg.train.rng_impl)
     nc = args.n_critics
 
@@ -90,15 +91,19 @@ def main():
     # one jitted call per STEP (bench.py proves per-step jit dispatch runs at
     # chip rate over the tunnel); the batch gather lives INSIDE the jit — an
     # eager per-step jnp.take was the dispatch-latency killer.
-    @partial(jax.jit, donate_argnums=0)
-    def jstep_g(state, data, idx, sno):
-        return step_g_fn(state, jnp.take(data, idx, axis=0),
-                         jax.random.fold_in(key, sno))
+    def jit_variant(do_g, do_gp=True):
+        fn = make_train_step(cfg, do_g_update=do_g, do_gp=do_gp)
 
-    @partial(jax.jit, donate_argnums=0)
-    def jstep_d(state, data, idx, sno):
-        return step_d_fn(state, jnp.take(data, idx, axis=0),
-                         jax.random.fold_in(key, sno))
+        @partial(jax.jit, donate_argnums=0)
+        def jstep(state, data, idx, sno):
+            return fn(state, jnp.take(data, idx, axis=0),
+                      jax.random.fold_in(key, sno))
+        return jstep
+
+    jstep_g, jstep_d = jit_variant(True), jit_variant(False)
+    if args.gp_every > 1:
+        jstep_g_nogp = jit_variant(True, do_gp=False)
+        jstep_d_nogp = jit_variant(False, do_gp=False)
 
     rng = np.random.default_rng(args.seed)
     n_batches = args.dataset // args.batch
@@ -114,7 +119,12 @@ def main():
     t0 = time.time()
     for sno in range(args.steps):
         idx = np.asarray(next(stream), np.int32)
-        jstep = jstep_g if (sno % (args.dataset // args.batch) % nc == 0) else jstep_d
+        do_g = (sno % (args.dataset // args.batch) % nc == 0)
+        do_gp = args.gp_every == 1 or sno % args.gp_every == 0
+        if do_gp:
+            jstep = jstep_g if do_g else jstep_d
+        else:
+            jstep = jstep_g_nogp if do_g else jstep_d_nogp
         state, metrics = jstep(state, data, idx, np.int32(sno))
         if (sno + 1) % args.log_every == 0:
             m = {k: float(jax.device_get(v)) for k, v in metrics.items()}
@@ -156,7 +166,8 @@ def main():
                   "n_critics": args.n_critics, "clip": args.clip,
                   "lambda_gp": args.lambda_gp, "dtype": args.dtype,
                   "steps": args.steps, "seed": args.seed,
-                  "grad_accum": args.grad_accum, "ema_decay": args.ema_decay},
+                  "grad_accum": args.grad_accum, "ema_decay": args.ema_decay,
+                  "gp_every": args.gp_every},
         "eval_mse_draws": [round(x, 4) for x in draws],
         **({"ema_eval_mse_draws": [round(x, 4) for x in ema_draws]}
            if ema_draws else {}),

@@ -52,6 +52,8 @@ def _load_cfg(args):
         t = t.replace(grad_accum=args.grad_accum)
     if getattr(args, "ema_decay", None) is not None:
         t = t.replace(ema_decay=args.ema_decay)
+    if getattr(args, "gp_every", None) is not None:
+        t = t.replace(gp_every=args.gp_every)
     if getattr(args, "max_steps", None) is not None:
         # 0 = unbounded (matches examples/train_multichip.py), overriding any
         # budget in the loaded config
@@ -312,6 +314,11 @@ def main(argv=None) -> int:
     sp.add_argument("--ema-decay", type=float,
                     help="maintain a generator-param EMA at this decay "
                          "(e.g. 0.999); evaluate via inference.with_ema")
+    sp.add_argument("--gp-every", type=int,
+                    help="lazy gradient penalty: run the WGAN-GP term (and its "
+                         "grad-of-grad) every k-th step with lambda_gp scaled "
+                         "by k (StyleGAN2 lazy regularization; 1 = reference-"
+                         "faithful every-step GP)")
     sp.add_argument("--grad-accum", type=int,
                     help="microbatch accumulation factor >= 1 (one optimizer "
                          "update per accumulated batch)")

@@ -204,8 +204,18 @@ class TrainConfig(_Replaceable):
     # via ``inference.with_ema(state)``. A standard GAN stabilizer: the EMA
     # iterate averages over the adversarial game's oscillations.
     ema_decay: Optional[float] = None
+    # lazy gradient-penalty cadence (opt-in; 1 = the reference's every-step GP).
+    # When k > 1 the WGAN-GP term (and its grad-of-grad) runs only every k-th
+    # step, with lambda_gp scaled by k on those steps so the time-averaged
+    # regularization pressure is unchanged — StyleGAN2's "lazy regularization"
+    # (Karras et al. 2020, §appendix B) applied to WGAN-GP. Amortizes the
+    # penalty's extra critic forward + double-backprop across k steps; a
+    # documented beyond-reference throughput lever, NOT semantics-preserving.
+    gp_every: int = 1
 
     def __post_init__(self):
+        if self.gp_every < 1:
+            raise ValueError(f"gp_every must be >= 1, got {self.gp_every!r}")
         if self.critic_batching not in ("separate", "concat", "concat3"):
             raise ValueError(
                 f"critic_batching must be one of 'separate'|'concat'|'concat3', "

@@ -123,7 +123,8 @@ def replicate_state(state: TrainState, mesh: Mesh) -> TrainState:
 
 def make_parallel_train_step(cfg: Config, mesh: Mesh, do_g_update: bool = True,
                              state_spec: Optional[TrainState] = None,
-                             batch_spec: Optional[NamedSharding] = None) -> Callable:
+                             batch_spec: Optional[NamedSharding] = None,
+                             do_gp: bool = True) -> Callable:
     """pjit-compiled train step: batch sharded along the data axis (pass
     ``batch_spec`` to add spatial sharding), params/opt state placed per
     ``state_shardings`` (replicated, plus TP of the critic head over the model
@@ -135,7 +136,7 @@ def make_parallel_train_step(cfg: Config, mesh: Mesh, do_g_update: bool = True,
     if cfg.optim.scheme == "three":
         step = make_paper_train_step(cfg)
     else:
-        step = make_train_step(cfg, do_g_update=do_g_update)
+        step = make_train_step(cfg, do_g_update=do_g_update, do_gp=do_gp)
     rep = replicated(mesh)
     bsh = batch_spec if batch_spec is not None else batch_sharding(mesh, mesh.axis_names[0])
     if state_spec is None:

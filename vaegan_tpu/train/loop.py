@@ -73,14 +73,15 @@ def train(
     state: Optional[TrainState] = None,
     logger: Optional[MetricsLogger] = None,
     sharding: Optional[Any] = None,
-    step_fns: Optional[Tuple[Callable, Callable]] = None,
+    step_fns: Optional[Any] = None,
     resume: bool = False,
 ) -> Tuple[TrainState, MetricsLogger]:
     """Run ``cfg.train.n_epochs`` of training; returns (final_state, logger).
 
     ``sharding``: optional jax.sharding.NamedSharding for batches (data parallel);
-    ``step_fns``: optional (step_with_g, step_d_only) overrides (used by the
-    parallel module to supply pjit-compiled steps);
+    ``step_fns``: optional step overrides (used by the parallel module to supply
+    pjit-compiled steps): either a (step_with_g, step_d_only) tuple, or — when
+    ``cfg.train.gp_every > 1`` — a dict keyed by (do_g_update, do_gp);
     ``resume``: restore the latest checkpoint under ``cfg.train.checkpoint_dir``
     and continue (skips already-completed steps) — restart/recovery support the
     reference lacks entirely (SURVEY.md §5).
@@ -100,13 +101,38 @@ def train(
     if logger is None:
         logger = MetricsLogger(flush_every=tcfg.log_every)
 
+    # lazy GP (cfg.train.gp_every > 1): the loop alternates between variants
+    # with and without the penalty's grad-of-grad; both are static jit variants,
+    # like do_g_update
+    lazy_gp = (tcfg.gp_every > 1 and cfg.optim.scheme != "three"
+               and cfg.loss.adversarial == "wgan" and cfg.loss.lambda_gp > 0.0)
     if step_fns is not None:
-        step_g, step_d = step_fns
+        if isinstance(step_fns, dict):
+            steps = step_fns
+        else:
+            if lazy_gp:
+                raise ValueError(
+                    "cfg.train.gp_every > 1 requires step_fns keyed by "
+                    "(do_g_update, do_gp), got a 2-tuple")
+            step_g, step_d = step_fns
+            steps = {(True, True): step_g, (False, True): step_d}
     elif cfg.optim.scheme == "three":
-        step_g = step_d = jax.jit(make_paper_train_step(cfg), donate_argnums=0)
+        fn = jax.jit(make_paper_train_step(cfg), donate_argnums=0)
+        steps = {(True, True): fn}
     else:
-        step_g = jax.jit(make_train_step(cfg, do_g_update=True), donate_argnums=0)
-        step_d = jax.jit(make_train_step(cfg, do_g_update=False), donate_argnums=0)
+        steps = {
+            (True, True): jax.jit(make_train_step(cfg, do_g_update=True),
+                                  donate_argnums=0),
+            (False, True): jax.jit(make_train_step(cfg, do_g_update=False),
+                                   donate_argnums=0),
+        }
+        if lazy_gp:
+            steps[(True, False)] = jax.jit(
+                make_train_step(cfg, do_g_update=True, do_gp=False),
+                donate_argnums=0)
+            steps[(False, False)] = jax.jit(
+                make_train_step(cfg, do_g_update=False, do_gp=False),
+                donate_argnums=0)
 
     ckpt = None
     start_step = 0
@@ -185,7 +211,9 @@ def train(
             sample_imgs = (sampler(state, batch, step_key)
                            if tcfg.sample_interval > 0
                            and batches_done % tcfg.sample_interval == 0 else None)
-            step = step_g if do_g else step_d
+            do_gp = (not lazy_gp) or (global_step % tcfg.gp_every == 0)
+            step = steps[(do_g, do_gp)] if cfg.optim.scheme != "three" \
+                else steps[(True, True)]
             state, metrics = step(state, batch, step_key)
             logger.log(epoch, tcfg.n_epochs, i, n_batches, metrics)
             if tcfg.nan_check and (global_step + 1) % logger.flush_every == 0:

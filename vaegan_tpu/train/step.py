@@ -87,16 +87,21 @@ def _gen_forward_fn(cfg, gen):
 
 
 def _critic_loss(cfg, disc, d_params, d_stats, d_spec, batch, gen_imgs_sg,
-                 keys, alpha_inject, mask_trees=(None, None, None)):
+                 keys, alpha_inject, mask_trees=(None, None, None),
+                 do_gp=True):
     """D-half loss body (README.md:792-798): critic on real, on detached fakes,
     gradient penalty on the interpolates; every forward threads BN stats +
     spectral u/v like torch train-mode forwards.
 
     ``keys`` = (k_real, k_fake, k_interp, k_alpha); ``mask_trees`` = optional
     injected dropout-mask collections for the (real, fake, interp) forwards
-    (parity harness; "separate" batching only)."""
+    (parity harness; "separate" batching only). ``do_gp=False`` is the lazy-
+    regularization off-step (cfg.train.gp_every > 1): the penalty term and its
+    grad-of-grad are skipped entirely; GP steps scale lambda_gp by gp_every so
+    the time-averaged pressure matches (StyleGAN2 lazy regularization)."""
     lcfg = cfg.loss
-    use_gp = lcfg.adversarial == "wgan" and lcfg.lambda_gp > 0.0
+    use_gp = do_gp and lcfg.adversarial == "wgan" and lcfg.lambda_gp > 0.0
+    lam_gp = lcfg.lambda_gp * (cfg.train.gp_every if cfg.train.gp_every > 1 else 1)
     k_dreal, k_dfake, k_dinterp, k_alpha = keys
     m_real, m_fake, m_interp = mask_trees
     dstate = {"batch_stats": d_stats, "spectral": d_spec}
@@ -140,7 +145,7 @@ def _critic_loss(cfg, disc, d_params, d_stats, d_spec, batch, gen_imgs_sg,
         gp = jnp.mean(jnp.square(norms - 1.0))
         # use_gp implies adversarial == "wgan"; bce configs take the concat-2 path
         real_loss, fake_loss = losses.wgan_critic_loss(real_logits, fake_logits)
-        d_loss = real_loss + fake_loss + lcfg.lambda_gp * gp
+        d_loss = real_loss + fake_loss + lam_gp * gp
         return d_loss, (st, real_loss, fake_loss, gp)
 
     if cfg.train.critic_batching in ("concat", "concat3"):
@@ -165,7 +170,7 @@ def _critic_loss(cfg, disc, d_params, d_stats, d_spec, batch, gen_imgs_sg,
             batch, gen_imgs_sg, k_alpha, alpha=alpha_inject)
     else:
         gp = jnp.zeros((), jnp.float32)
-    d_loss = real_loss + fake_loss + lcfg.lambda_gp * gp
+    d_loss = real_loss + fake_loss + lam_gp * gp
     return d_loss, (st, real_loss, fake_loss, gp)
 
 
@@ -225,7 +230,8 @@ def _gen_losses(cfg, disc, d_params, d_stats, d_spec, batch, g_imgs, mu2, lv2,
 
 
 def make_train_step(cfg: Config, do_g_update: bool, axis_name=None,
-                    inject: Dict[str, jax.Array] = None) -> Callable:
+                    inject: Dict[str, jax.Array] = None,
+                    do_gp: bool = True) -> Callable:
     """Two-optimizer step (the notebook's scheme). Returns
     ``step(state, batch, key) -> (state, metrics)``; wrap in jit/pjit yourself or use
     vaegan_tpu.parallel.make_parallel_step.
@@ -238,9 +244,14 @@ def make_train_step(cfg: Config, do_g_update: bool, axis_name=None,
     used to replay the reference's torch/numpy draws so one step is comparable
     number-for-number at the trained dropout p=0.5 (tests/test_reference_parity.py;
     build the collections with interop.reference_dropout_masks_to_collection).
+
+    ``do_gp`` (static, like ``do_g_update``): False compiles the lazy-
+    regularization off-step — no GP term, no grad-of-grad (cfg.train.gp_every;
+    the loop schedules which variant runs each step). RNG split width is
+    unchanged, so samplers/replays stay key-aligned across variants.
     """
     if cfg.train.grad_accum > 1:
-        return make_accum_train_step(cfg, do_g_update, axis_name, inject)
+        return make_accum_train_step(cfg, do_g_update, axis_name, inject, do_gp)
     inject = inject or {}
     gen, disc = build_models(cfg, axis_name)
     tx_g = build_optimizer(cfg.optim, "g")
@@ -280,7 +291,7 @@ def make_train_step(cfg: Config, do_g_update: bool, axis_name=None,
                 gen_imgs_sg, (k_dreal, k_dfake, k_dinterp, k_alpha),
                 inject.get("alpha"),
                 (inject.get("d_masks_real"), inject.get("d_masks_fake"),
-                 inject.get("d_masks_interp")))
+                 inject.get("d_masks_interp")), do_gp)
 
         (d_loss, (d_st, real_loss, fake_loss, gp)), d_grads = jax.value_and_grad(
             d_loss_fn, has_aux=True)(state.d_params)
@@ -334,7 +345,8 @@ def make_train_step(cfg: Config, do_g_update: bool, axis_name=None,
 
 
 def make_accum_train_step(cfg: Config, do_g_update: bool, axis_name=None,
-                          inject: Dict[str, jax.Array] = None) -> Callable:
+                          inject: Dict[str, jax.Array] = None,
+                          do_gp: bool = True) -> Callable:
     """Gradient-accumulation variant of the two-optimizer step (SURVEY.md §2.3:
     "trivial under ``jax.lax.scan``" — the reference has no such capability).
 
@@ -400,7 +412,7 @@ def make_accum_train_step(cfg: Config, do_g_update: bool, axis_name=None,
             def d_loss_fn(d_params):
                 return _critic_loss(cfg, disc, d_params, d_stats, d_spec,
                                     x["batch"], gen_sg, (ks[2], ks[3], ks[4], ks[5]),
-                                    x.get("alpha"))
+                                    x.get("alpha"), do_gp=do_gp)
 
             (d_loss, (st, rl, fl, gp)), grads = jax.value_and_grad(
                 d_loss_fn, has_aux=True)(state.d_params)
