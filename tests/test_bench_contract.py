@@ -13,10 +13,11 @@ from pathlib import Path
 BENCH = Path(__file__).resolve().parents[1] / "bench.py"
 
 
-def _run(args=()):
+def _run(args=(), extra_env=None):
     env = dict(os.environ)
     env.update(BENCH_BATCH="2", BENCH_IMAGE="16", BENCH_STEPS="2",
                BENCH_DTYPE="float32", BENCH_DATASET="8")
+    env.update(extra_env or {})
     # force the CPU backend BEFORE bench touches jax (the environment's
     # sitecustomize registers a TPU plugin and ignores JAX_PLATFORMS)
     wrapper = (
@@ -50,3 +51,12 @@ def test_paper_mode_runs():
 def test_loader_mode_runs():
     rec = _run(["--loader"])
     assert rec["unit"] == "images/sec" and rec["value"] > 0
+
+
+def test_lazy_gp_mode_labels_metric():
+    """BENCH_GP_EVERY > 1 reports the amortized lazy-GP rate with the schedule
+    named in the metric string (the driver-recorded line must be self-
+    describing about the non-faithful schedule)."""
+    rec = _run(extra_env={"BENCH_GP_EVERY": "2", "BENCH_STEPS": "4"})
+    assert "lazy GP 1/2" in rec["metric"]
+    assert rec["unit"] == "images/sec/chip" and rec["value"] > 0

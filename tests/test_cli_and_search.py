@@ -152,6 +152,18 @@ class TestRandomSearchRun:
 
 
 class TestCli:
+    def test_bench_knows_every_mode(self, capsys):
+        """All bench.py modes are reachable through `vaegan-tpu bench`
+        (regression: --infer shipped without being added to the CLI's valid
+        set). Pair each with a second mode: the invalid-COMBO error proves the
+        mode itself passed the unknown-mode gate without running the bench."""
+        from vaegan_tpu.cli import main
+        for mode in ("infer", "paper", "vae", "loader", "roofline"):
+            rc = main(["bench", mode, "loader" if mode != "loader" else "vae"])
+            err = capsys.readouterr().err
+            assert rc == 2 and "unknown bench mode" not in err, (mode, err)
+            assert "at most one bench mode" in err
+
     def test_print_config(self, capsys):
         from vaegan_tpu.cli import main
         assert main(["print-config", "--preset", "vaegan_paper"]) == 0

@@ -293,6 +293,26 @@ class TestResume:
         with pytest.raises(ValueError, match="ema_decay"):
             train(cfg2, resume=True)
 
+    def test_saved_has_g_ema_unreadable_metadata_is_none(self, tmp_path):
+        """The EMA probe is tri-state: an orbax metadata layout it does not
+        recognize (e.g. after an orbax upgrade) returns None ("undeterminable,
+        trust the flags"), never a silent False that would route an EMA
+        checkpoint into the wrong restore branch."""
+        from vaegan_tpu.checkpoint import CheckpointManager
+        cfg = tiny_cfg(tmp_path, checkpoint_dir=str(tmp_path / "ck"),
+                       checkpoint_every=2)
+        train(cfg)
+        mgr = CheckpointManager(str(tmp_path / "ck"))
+        step = mgr.latest_step()
+        assert mgr.saved_has_g_ema() is False  # recognized layout, no EMA leaf
+        mgr.close()
+        md = tmp_path / "ck" / str(step) / "default" / "_METADATA"
+        if md.exists():  # corrupt it: the probe must degrade to None, not False
+            md.write_text("{not json")
+            mgr2 = CheckpointManager(str(tmp_path / "ck"))
+            assert mgr2.saved_has_g_ema() is None
+            mgr2.close()
+
     def test_resume_pre_ema_checkpoint_starts_ema_from_restored_params(self, tmp_path):
         """Turning EMA on when resuming an older (no-EMA) checkpoint restores
         cleanly and seeds the average from the restored params."""

@@ -42,14 +42,20 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
-    def saved_has_g_ema(self, step: Optional[int] = None) -> bool:
+    def saved_has_g_ema(self, step: Optional[int] = None) -> Optional[bool]:
         """Whether the saved TrainState carries a generator-EMA leaf — lets
         callers build a structurally matching restore template regardless of
         the *current* config's ``ema_decay`` (a checkpoint knows what it was
-        trained with better than the flags of the restoring process)."""
+        trained with better than the flags of the restoring process).
+
+        Returns ``None`` when the question cannot be answered (no checkpoint,
+        or an orbax on-disk metadata layout this probe doesn't recognize —
+        the fallback below reads orbax's private ``_METADATA`` schema, which
+        an orbax upgrade may change). Callers treat ``None`` as "trust the
+        current flags" rather than silently assuming no-EMA."""
         step = self._mgr.latest_step() if step is None else step
         if step is None:
-            return False
+            return None
         md = self._mgr.item_metadata(step)
         tree = getattr(md, "tree", None) if md is not None else None
         if tree is not None:
@@ -62,13 +68,13 @@ class CheckpointManager:
         try:
             with open(p) as f:
                 tm = json.load(f)["tree_metadata"]
-        except (OSError, KeyError, ValueError):
-            return False
-        for entry in tm.values():
-            keys = [k.get("key") for k in entry.get("key_metadata", [])]
-            if keys and keys[0] == "g_ema":
-                return entry["value_metadata"]["value_type"] != "None"
-        return False
+            for entry in tm.values():
+                keys = [k.get("key") for k in entry.get("key_metadata", [])]
+                if keys and keys[0] == "g_ema":
+                    return entry["value_metadata"]["value_type"] != "None"
+            return False  # schema understood, no g_ema entry at all
+        except (OSError, KeyError, ValueError, TypeError, AttributeError):
+            return None  # unrecognized layout — undeterminable, not "no EMA"
 
     def wait(self) -> None:
         self._mgr.wait_until_finished()

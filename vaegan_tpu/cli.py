@@ -72,12 +72,15 @@ def _restore(cfg, ckpt_dir):
     # (the decay VALUE is irrelevant at inference) so restore works whether or
     # not the current flags/config mention ema_decay
     t = cfg.train
-    if mgr.saved_has_g_ema():
+    saved = mgr.saved_has_g_ema()
+    if saved is True:
         tmpl_cfg = cfg if t.ema_decay is not None else cfg.replace(
             train=t.replace(ema_decay=0.999))
-    else:
+    elif saved is False:
         tmpl_cfg = cfg if t.ema_decay is None else cfg.replace(
             train=t.replace(ema_decay=None))
+    else:  # undeterminable metadata layout — trust the current flags
+        tmpl_cfg = cfg
     template = create_train_state(tmpl_cfg, jax.random.key(t.seed))
     state = mgr.restore(template)
     mgr.close()
@@ -267,7 +270,7 @@ def cmd_bench(args):
     import runpy
 
     # accept bare words (argparse rejects unknown --flags): `bench loader`
-    valid = {"paper", "vae", "loader", "roofline"}
+    valid = {"paper", "vae", "loader", "roofline", "infer"}
     modes = [m.lstrip("-") for m in (args.mode or [])]
     bad = [m for m in modes if m not in valid]
     if bad:

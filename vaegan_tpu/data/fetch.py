@@ -15,8 +15,8 @@ and report what was ingested. See docs/DATA.md for the full ingest story.
 
 from __future__ import annotations
 
-import io
 import shutil
+import tempfile
 import urllib.request
 import zipfile
 from pathlib import Path
@@ -47,14 +47,18 @@ def fetch_dataset(url: str = REFERENCE_DATASET_URL, dest: str = "nii",
     dest_dir.mkdir(parents=True, exist_ok=True)
 
     if archive_path is not None:
-        data = Path(archive_path).read_bytes()
+        archive_file = open(archive_path, "rb")
     else:
+        # stream the download to a spooled temp file (zipfile needs a seekable
+        # object; buffering a multi-GB archive wholly in RAM does not scale)
+        archive_file = tempfile.SpooledTemporaryFile(max_size=64 * 2 ** 20)
         with urllib.request.urlopen(url, timeout=timeout) as r:
-            data = r.read()
+            shutil.copyfileobj(r, archive_file)
+        archive_file.seek(0)
 
     n = 0
     seen: dict = {}
-    with zipfile.ZipFile(io.BytesIO(data)) as zf:
+    with archive_file, zipfile.ZipFile(archive_file) as zf:
         for member in zf.infolist():
             name = Path(member.filename).name
             if member.is_dir() or not name.endswith((".nii", ".nii.gz")):

@@ -420,7 +420,8 @@ def import_reference_state_dicts(cfg, gen_sd: Mapping[str, Any],
 
     from vaegan_tpu.train.state import create_train_state
 
-    template = create_train_state(cfg, jax.random.key(cfg.train.seed))
+    template = create_train_state(
+        cfg, jax.random.key(cfg.train.seed, impl=cfg.train.rng_impl))
     gv = reference_generator_to_variables(gen_sd)
     state = template.replace(
         g_params=_graft(template.g_params, gv["params"], "generator params"),

@@ -76,9 +76,9 @@ def train_data_parallel(
         step_d = step_g  # the paper step has no critic-only variant; don't compile twice
     else:
         step_d = make_parallel_train_step(cfg, mesh, do_g_update=False, state_spec=spec)
+    from vaegan_tpu.train.step import lazy_gp_enabled
     step_fns = {(True, True): step_g, (False, True): step_d}
-    if (cfg.train.gp_every > 1 and cfg.optim.scheme != "three"
-            and cfg.loss.adversarial == "wgan" and cfg.loss.lambda_gp > 0.0):
+    if lazy_gp_enabled(cfg):
         for do_g in (True, False):
             step_fns[(do_g, False)] = make_parallel_train_step(
                 cfg, mesh, do_g_update=do_g, state_spec=spec, do_gp=False)

@@ -104,8 +104,8 @@ def train(
     # lazy GP (cfg.train.gp_every > 1): the loop alternates between variants
     # with and without the penalty's grad-of-grad; both are static jit variants,
     # like do_g_update
-    lazy_gp = (tcfg.gp_every > 1 and cfg.optim.scheme != "three"
-               and cfg.loss.adversarial == "wgan" and cfg.loss.lambda_gp > 0.0)
+    from vaegan_tpu.train.step import lazy_gp_enabled
+    lazy_gp = lazy_gp_enabled(cfg)
     if step_fns is not None:
         if isinstance(step_fns, dict):
             steps = step_fns
@@ -140,14 +140,17 @@ def train(
         from vaegan_tpu.checkpoint import CheckpointManager
         ckpt = CheckpointManager(tcfg.checkpoint_dir)
         if resume and ckpt.latest_step() is not None:
+            # tri-state: None = probe couldn't read the checkpoint's metadata
+            # (e.g. an orbax layout change) — trust the current flags and let
+            # restore() validate the structure instead of guessing "no EMA"
             saved_ema = ckpt.saved_has_g_ema()
-            if saved_ema and state.g_ema is None:
+            if saved_ema is True and state.g_ema is None:
                 # resuming without the flag would silently stop EMA tracking
                 # mid-run (and orbax's structure-mismatch error is cryptic)
                 raise ValueError(
                     f"checkpoint at {tcfg.checkpoint_dir} carries a generator "
                     "EMA; pass the same ema_decay (--ema-decay) to resume")
-            if not saved_ema and state.g_ema is not None:
+            if saved_ema is False and state.g_ema is not None:
                 # checkpoint predates EMA tracking: restore without the leaf,
                 # then start the average from the restored params
                 restored = ckpt.restore(state.replace(g_ema=None))

@@ -86,6 +86,16 @@ def _gen_forward_fn(cfg, gen):
     return gen_forward
 
 
+def lazy_gp_enabled(cfg: Config) -> bool:
+    """Whether ``cfg.train.gp_every > 1`` actually engages the lazy-GP
+    schedule: only the two-optimizer WGAN step with an active penalty has a
+    GP term to amortize. The single source of truth for the loop and the
+    parallel step builder — they must agree or the loop's (do_g, do_gp) step
+    lookup KeyErrors mid-run."""
+    return (cfg.train.gp_every > 1 and cfg.optim.scheme != "three"
+            and cfg.loss.adversarial == "wgan" and cfg.loss.lambda_gp > 0.0)
+
+
 def _critic_loss(cfg, disc, d_params, d_stats, d_spec, batch, gen_imgs_sg,
                  keys, alpha_inject, mask_trees=(None, None, None),
                  do_gp=True):
