@@ -257,7 +257,8 @@ def main(preset_name: str = "notebook") -> None:
 
     state = create_train_state(cfg, jax.random.key(0))
     step_fn = (make_paper_train_step(cfg) if cfg.optim.scheme == "three"
-               else make_train_step(cfg, do_g_update=True))
+               else make_train_step(cfg, do_g_update=True,
+                                    gp_lambda_scale=float(gp_every)))
     step = jax.jit(step_fn, donate_argnums=0)
     step_nogp = None
     if gp_every > 1 and cfg.optim.scheme != "three":

@@ -359,8 +359,8 @@ class TestNanGuard:
         # poison the step to produce a NaN metric on step 2
         import vaegan_tpu.train.step as step_mod
         real_make = step_mod.make_train_step
-        def poisoned(cfg_, do_g_update, axis_name=None):
-            inner = real_make(cfg_, do_g_update, axis_name)
+        def poisoned(cfg_, do_g_update, axis_name=None, **kw):
+            inner = real_make(cfg_, do_g_update, axis_name, **kw)
             def step(state, batch, key):
                 new_state, m = inner(state, batch, key)
                 m = dict(m)

@@ -478,22 +478,42 @@ class TestLazyGP:
             float(metrics["d_real_loss"]) + float(metrics["d_fake_loss"]),
             rtol=1e-6)
 
-    def test_gp_step_scales_lambda_by_gp_every(self):
-        """On GP steps, lambda_gp is multiplied by gp_every so the time-averaged
-        regularization pressure matches the every-step baseline."""
+    def test_gp_lambda_scale_is_explicit_not_config_derived(self):
+        """λ·k scaling is applied by the SCHEDULER via gp_lambda_scale; a step
+        built directly from a gp_every=4 config (no scale argument) trains with
+        the configured λ — never a silently k-scaled one."""
         cfg1 = tiny_config()
         cfg4 = cfg1.replace(train=cfg1.train.replace(gp_every=4))
+        b, k = batch_of(cfg1, jax.random.key(1)), jax.random.key(2)
         s1 = create_train_state(cfg1, jax.random.key(0))
         s4 = create_train_state(cfg4, jax.random.key(0))
-        b, k = batch_of(cfg1, jax.random.key(1)), jax.random.key(2)
         _, m1 = jax.jit(make_train_step(cfg1, do_g_update=True))(s1, b, k)
         _, m4 = jax.jit(make_train_step(cfg4, do_g_update=True))(s4, b, k)
-        # identical seeds -> identical penalty value; only its weight differs
-        np.testing.assert_allclose(float(m4["gp"]), float(m1["gp"]), rtol=1e-6)
+        # default scale: gp_every in the config does NOT change the step
+        np.testing.assert_allclose(float(m4["d_loss"]), float(m1["d_loss"]),
+                                   rtol=1e-6)
+        # the scheduled GP variant: λ scaled by the explicit factor
+        s4b = create_train_state(cfg4, jax.random.key(0))
+        _, m4s = jax.jit(make_train_step(cfg4, do_g_update=True,
+                                         gp_lambda_scale=4.0))(s4b, b, k)
+        np.testing.assert_allclose(float(m4s["gp"]), float(m1["gp"]), rtol=1e-6)
         lam = cfg1.loss.lambda_gp
         np.testing.assert_allclose(
-            float(m4["d_loss"]) - float(m1["d_loss"]),
+            float(m4s["d_loss"]) - float(m1["d_loss"]),
             (4 - 1) * lam * float(m1["gp"]), rtol=1e-4)
+
+    def test_make_step_variants_includes_no_gp_iff_lazy(self):
+        from vaegan_tpu.train.step import make_step_variants
+        calls = []
+        builder = lambda do_g, do_gp, scale: calls.append((do_g, do_gp, scale)) or "s"
+        cfg = tiny_config()
+        assert set(make_step_variants(cfg, builder)) == {(True, True), (False, True)}
+        assert all(s == 1.0 for _, _, s in calls)
+        calls.clear()
+        cfg4 = cfg.replace(train=cfg.train.replace(gp_every=4))
+        v = make_step_variants(cfg4, builder)
+        assert set(v) == {(True, True), (False, True), (True, False), (False, False)}
+        assert all(s == 4.0 for _, _, s in calls)
 
     def test_rng_alignment_across_variants(self):
         """The off-step consumes the same split width: everything except the

@@ -92,7 +92,8 @@ def main():
     # chip rate over the tunnel); the batch gather lives INSIDE the jit — an
     # eager per-step jnp.take was the dispatch-latency killer.
     def jit_variant(do_g, do_gp=True):
-        fn = make_train_step(cfg, do_g_update=do_g, do_gp=do_gp)
+        fn = make_train_step(cfg, do_g_update=do_g, do_gp=do_gp,
+                             gp_lambda_scale=float(args.gp_every))
 
         @partial(jax.jit, donate_argnums=0)
         def jstep(state, data, idx, sno):

@@ -205,12 +205,16 @@ class TrainConfig(_Replaceable):
     # iterate averages over the adversarial game's oscillations.
     ema_decay: Optional[float] = None
     # lazy gradient-penalty cadence (opt-in; 1 = the reference's every-step GP).
-    # When k > 1 the WGAN-GP term (and its grad-of-grad) runs only every k-th
-    # step, with lambda_gp scaled by k on those steps so the time-averaged
-    # regularization pressure is unchanged — StyleGAN2's "lazy regularization"
-    # (Karras et al. 2020, §appendix B) applied to WGAN-GP. Amortizes the
-    # penalty's extra critic forward + double-backprop across k steps; a
-    # documented beyond-reference throughput lever, NOT semantics-preserving.
+    # When k > 1 the shipped schedulers (train(), train_data_parallel, bench,
+    # the probe tool) run the WGAN-GP term (and its grad-of-grad) only every
+    # k-th step, passing gp_lambda_scale=k to the step builder so lambda_gp is
+    # scaled by k on those steps and the time-averaged regularization pressure
+    # is unchanged — StyleGAN2's "lazy regularization" (Karras et al. 2020,
+    # appendix B) applied to WGAN-GP. A step built DIRECTLY from this config
+    # ignores gp_every (faithful λ every step): the scaling belongs to whoever
+    # actually skips steps. Amortizes the penalty's extra critic forward +
+    # double-backprop across k steps; a documented beyond-reference throughput
+    # lever, NOT semantics-preserving.
     gp_every: int = 1
 
     def __post_init__(self):

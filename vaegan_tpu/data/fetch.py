@@ -49,9 +49,11 @@ def fetch_dataset(url: str = REFERENCE_DATASET_URL, dest: str = "nii",
     if archive_path is not None:
         archive_file = open(archive_path, "rb")
     else:
-        # stream the download to a spooled temp file (zipfile needs a seekable
-        # object; buffering a multi-GB archive wholly in RAM does not scale)
-        archive_file = tempfile.SpooledTemporaryFile(max_size=64 * 2 ** 20)
+        # stream the download to an unnamed temp file (zipfile needs a seekable
+        # object; buffering a multi-GB archive wholly in RAM does not scale.
+        # A real file, not SpooledTemporaryFile: the spooled wrapper lacks
+        # seekable()/readable() before Python 3.11, which zipfile probes)
+        archive_file = tempfile.TemporaryFile()
         with urllib.request.urlopen(url, timeout=timeout) as r:
             shutil.copyfileobj(r, archive_file)
         archive_file.seek(0)

@@ -124,7 +124,8 @@ def replicate_state(state: TrainState, mesh: Mesh) -> TrainState:
 def make_parallel_train_step(cfg: Config, mesh: Mesh, do_g_update: bool = True,
                              state_spec: Optional[TrainState] = None,
                              batch_spec: Optional[NamedSharding] = None,
-                             do_gp: bool = True) -> Callable:
+                             do_gp: bool = True,
+                             gp_lambda_scale: float = 1.0) -> Callable:
     """pjit-compiled train step: batch sharded along the data axis (pass
     ``batch_spec`` to add spatial sharding), params/opt state placed per
     ``state_shardings`` (replicated, plus TP of the critic head over the model
@@ -134,9 +135,18 @@ def make_parallel_train_step(cfg: Config, mesh: Mesh, do_g_update: bool = True,
     statistics from the sharding annotations alone.
     """
     if cfg.optim.scheme == "three":
+        if not do_gp:
+            # the Larsen step has no GP term to skip — honoring the flag
+            # silently would hand back the full paper step to a caller that
+            # asked for a cheaper variant
+            raise ValueError(
+                "do_gp=False is meaningless for the three-optimizer paper "
+                "scheme (no gradient penalty); lazy GP applies to the "
+                "two-optimizer WGAN-GP step only")
         step = make_paper_train_step(cfg)
     else:
-        step = make_train_step(cfg, do_g_update=do_g_update, do_gp=do_gp)
+        step = make_train_step(cfg, do_g_update=do_g_update, do_gp=do_gp,
+                               gp_lambda_scale=gp_lambda_scale)
     rep = replicated(mesh)
     bsh = batch_spec if batch_spec is not None else batch_sharding(mesh, mesh.axis_names[0])
     if state_spec is None:

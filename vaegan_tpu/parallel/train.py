@@ -71,17 +71,17 @@ def train_data_parallel(
     # cannot target non-addressable devices; shard_state assembles global
     # arrays from the per-process replica instead
     state = shard_state(state, mesh, model_axis=p.model_axis)
-    step_g = make_parallel_train_step(cfg, mesh, do_g_update=True, state_spec=spec)
     if cfg.optim.scheme == "three":
-        step_d = step_g  # the paper step has no critic-only variant; don't compile twice
+        # the paper step has no critic-only variant; don't compile twice
+        step_g = make_parallel_train_step(cfg, mesh, do_g_update=True,
+                                          state_spec=spec)
+        step_fns = {(True, True): step_g, (False, True): step_g}
     else:
-        step_d = make_parallel_train_step(cfg, mesh, do_g_update=False, state_spec=spec)
-    from vaegan_tpu.train.step import lazy_gp_enabled
-    step_fns = {(True, True): step_g, (False, True): step_d}
-    if lazy_gp_enabled(cfg):
-        for do_g in (True, False):
-            step_fns[(do_g, False)] = make_parallel_train_step(
-                cfg, mesh, do_g_update=do_g, state_spec=spec, do_gp=False)
+        from vaegan_tpu.train.step import make_step_variants
+        step_fns = make_step_variants(
+            cfg, lambda do_g, do_gp, scale: make_parallel_train_step(
+                cfg, mesh, do_g_update=do_g, state_spec=spec, do_gp=do_gp,
+                gp_lambda_scale=scale))
 
     return train(
         cfg, loader=loader, state=state, logger=logger,

@@ -103,8 +103,9 @@ def train(
 
     # lazy GP (cfg.train.gp_every > 1): the loop alternates between variants
     # with and without the penalty's grad-of-grad; both are static jit variants,
-    # like do_g_update
-    from vaegan_tpu.train.step import lazy_gp_enabled
+    # like do_g_update. make_step_variants applies the λ·gp_every scaling on GP
+    # steps — the step builders themselves never scale λ on their own.
+    from vaegan_tpu.train.step import lazy_gp_enabled, make_step_variants
     lazy_gp = lazy_gp_enabled(cfg)
     if step_fns is not None:
         if isinstance(step_fns, dict):
@@ -120,19 +121,20 @@ def train(
         fn = jax.jit(make_paper_train_step(cfg), donate_argnums=0)
         steps = {(True, True): fn}
     else:
-        steps = {
-            (True, True): jax.jit(make_train_step(cfg, do_g_update=True),
-                                  donate_argnums=0),
-            (False, True): jax.jit(make_train_step(cfg, do_g_update=False),
-                                   donate_argnums=0),
-        }
-        if lazy_gp:
-            steps[(True, False)] = jax.jit(
-                make_train_step(cfg, do_g_update=True, do_gp=False),
-                donate_argnums=0)
-            steps[(False, False)] = jax.jit(
-                make_train_step(cfg, do_g_update=False, do_gp=False),
-                donate_argnums=0)
+        steps = make_step_variants(cfg, lambda do_g, do_gp, scale: jax.jit(
+            make_train_step(cfg, do_g_update=do_g, do_gp=do_gp,
+                            gp_lambda_scale=scale),
+            donate_argnums=0))
+    if cfg.optim.scheme != "three":
+        # fail fast on a malformed override dict, not KeyError mid-epoch after
+        # state has been donated (the tuple branch above already fails at entry)
+        need = {(True, True), (False, True)} | (
+            {(True, False), (False, False)} if lazy_gp else set())
+        missing = need - set(steps)
+        if missing:
+            raise ValueError(
+                f"step_fns is missing (do_g_update, do_gp) variants {sorted(missing)} "
+                f"required by this config (gp_every={tcfg.gp_every})")
 
     ckpt = None
     start_step = 0

@@ -96,9 +96,25 @@ def lazy_gp_enabled(cfg: Config) -> bool:
             and cfg.loss.adversarial == "wgan" and cfg.loss.lambda_gp > 0.0)
 
 
+def make_step_variants(cfg: Config, builder) -> dict:
+    """Assemble the ``(do_g_update, do_gp) -> step`` dict the train loop
+    schedules. ``builder(do_g_update, do_gp, gp_lambda_scale)`` compiles one
+    variant; the no-GP variants (and the λ·gp_every scaling on GP steps) are
+    included exactly when :func:`lazy_gp_enabled` — keeping the loop and the
+    parallel builder structurally in agreement instead of by convention."""
+    lazy = lazy_gp_enabled(cfg)
+    scale = float(cfg.train.gp_every) if lazy else 1.0
+    variants = {(True, True): builder(True, True, scale),
+                (False, True): builder(False, True, scale)}
+    if lazy:
+        variants[(True, False)] = builder(True, False, scale)
+        variants[(False, False)] = builder(False, False, scale)
+    return variants
+
+
 def _critic_loss(cfg, disc, d_params, d_stats, d_spec, batch, gen_imgs_sg,
                  keys, alpha_inject, mask_trees=(None, None, None),
-                 do_gp=True):
+                 do_gp=True, gp_lambda_scale=1.0):
     """D-half loss body (README.md:792-798): critic on real, on detached fakes,
     gradient penalty on the interpolates; every forward threads BN stats +
     spectral u/v like torch train-mode forwards.
@@ -107,11 +123,14 @@ def _critic_loss(cfg, disc, d_params, d_stats, d_spec, batch, gen_imgs_sg,
     injected dropout-mask collections for the (real, fake, interp) forwards
     (parity harness; "separate" batching only). ``do_gp=False`` is the lazy-
     regularization off-step (cfg.train.gp_every > 1): the penalty term and its
-    grad-of-grad are skipped entirely; GP steps scale lambda_gp by gp_every so
-    the time-averaged pressure matches (StyleGAN2 lazy regularization)."""
+    grad-of-grad are skipped entirely; ``gp_lambda_scale`` (λ·gp_every on GP
+    steps, applied by the SCHEDULER, not derived from cfg — a step built
+    directly always defaults to the faithful λ) keeps the time-averaged
+    pressure of the skipping schedule equal to every-step GP (StyleGAN2 lazy
+    regularization)."""
     lcfg = cfg.loss
     use_gp = do_gp and lcfg.adversarial == "wgan" and lcfg.lambda_gp > 0.0
-    lam_gp = lcfg.lambda_gp * (cfg.train.gp_every if cfg.train.gp_every > 1 else 1)
+    lam_gp = lcfg.lambda_gp * gp_lambda_scale
     k_dreal, k_dfake, k_dinterp, k_alpha = keys
     m_real, m_fake, m_interp = mask_trees
     dstate = {"batch_stats": d_stats, "spectral": d_spec}
@@ -241,7 +260,7 @@ def _gen_losses(cfg, disc, d_params, d_stats, d_spec, batch, g_imgs, mu2, lv2,
 
 def make_train_step(cfg: Config, do_g_update: bool, axis_name=None,
                     inject: Dict[str, jax.Array] = None,
-                    do_gp: bool = True) -> Callable:
+                    do_gp: bool = True, gp_lambda_scale: float = 1.0) -> Callable:
     """Two-optimizer step (the notebook's scheme). Returns
     ``step(state, batch, key) -> (state, metrics)``; wrap in jit/pjit yourself or use
     vaegan_tpu.parallel.make_parallel_step.
@@ -259,9 +278,17 @@ def make_train_step(cfg: Config, do_g_update: bool, axis_name=None,
     regularization off-step — no GP term, no grad-of-grad (cfg.train.gp_every;
     the loop schedules which variant runs each step). RNG split width is
     unchanged, so samplers/replays stay key-aligned across variants.
+
+    ``gp_lambda_scale``: multiplier on ``loss.lambda_gp``, default 1.0 (the
+    faithful coefficient). The SCHEDULER that actually skips GP steps passes
+    ``cfg.train.gp_every`` here (λ·k lazy regularization) — it is deliberately
+    NOT derived from cfg, so a step built directly and run every step trains
+    with the configured λ, never a silently k-scaled one. Use
+    :func:`make_step_variants` to assemble the scheduled variants.
     """
     if cfg.train.grad_accum > 1:
-        return make_accum_train_step(cfg, do_g_update, axis_name, inject, do_gp)
+        return make_accum_train_step(cfg, do_g_update, axis_name, inject,
+                                     do_gp, gp_lambda_scale)
     inject = inject or {}
     gen, disc = build_models(cfg, axis_name)
     tx_g = build_optimizer(cfg.optim, "g")
@@ -301,7 +328,7 @@ def make_train_step(cfg: Config, do_g_update: bool, axis_name=None,
                 gen_imgs_sg, (k_dreal, k_dfake, k_dinterp, k_alpha),
                 inject.get("alpha"),
                 (inject.get("d_masks_real"), inject.get("d_masks_fake"),
-                 inject.get("d_masks_interp")), do_gp)
+                 inject.get("d_masks_interp")), do_gp, gp_lambda_scale)
 
         (d_loss, (d_st, real_loss, fake_loss, gp)), d_grads = jax.value_and_grad(
             d_loss_fn, has_aux=True)(state.d_params)
@@ -356,7 +383,8 @@ def make_train_step(cfg: Config, do_g_update: bool, axis_name=None,
 
 def make_accum_train_step(cfg: Config, do_g_update: bool, axis_name=None,
                           inject: Dict[str, jax.Array] = None,
-                          do_gp: bool = True) -> Callable:
+                          do_gp: bool = True,
+                          gp_lambda_scale: float = 1.0) -> Callable:
     """Gradient-accumulation variant of the two-optimizer step (SURVEY.md §2.3:
     "trivial under ``jax.lax.scan``" — the reference has no such capability).
 
@@ -422,7 +450,8 @@ def make_accum_train_step(cfg: Config, do_g_update: bool, axis_name=None,
             def d_loss_fn(d_params):
                 return _critic_loss(cfg, disc, d_params, d_stats, d_spec,
                                     x["batch"], gen_sg, (ks[2], ks[3], ks[4], ks[5]),
-                                    x.get("alpha"), do_gp=do_gp)
+                                    x.get("alpha"), do_gp=do_gp,
+                                    gp_lambda_scale=gp_lambda_scale)
 
             (d_loss, (st, rl, fl, gp)), grads = jax.value_and_grad(
                 d_loss_fn, has_aux=True)(state.d_params)
