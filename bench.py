@@ -10,7 +10,9 @@ vs_baseline = value / 5000 (the BASELINE.json target of >=5k imgs/s/chip).
 
 Env knobs: BENCH_BATCH (default 128 — the measured optimum), BENCH_DTYPE
 (bfloat16|float32, default bfloat16), BENCH_STEPS (default 20),
-BENCH_IMAGE (default 96).
+BENCH_IMAGE (default 96), BENCH_GP_EVERY (headline default 4 — the
+quality-verified lazy-GP schedule, named in the metric string; 1 = the
+reference-faithful every-step GP; --vae/--paper default 1).
 """
 
 from __future__ import annotations
@@ -240,7 +242,15 @@ def main(preset_name: str = "notebook") -> None:
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     n_steps = int(os.environ.get("BENCH_STEPS", 20))
     image = int(os.environ.get("BENCH_IMAGE", 96))
-    gp_every = int(os.environ.get("BENCH_GP_EVERY", 1))
+    # headline default: the recommended lazy-GP schedule (gp_every=4 —
+    # quality-verified against the every-step control in BENCH_NOTES; the
+    # metric string below self-describes it). BENCH_GP_EVERY=1 measures the
+    # reference-faithful every-step GP (559.8-560.7 img/s, 90.2% of achieved
+    # HBM bandwidth). The --vae/--paper secondary rows stay faithful by
+    # default: their recorded numbers and roofline attributions predate the
+    # schedule and the paper step has no GP to amortize anyway.
+    gp_every = int(os.environ.get("BENCH_GP_EVERY",
+                                  4 if preset_name == "notebook" else 1))
 
     from vaegan_tpu.config import preset
     from vaegan_tpu.train import (
