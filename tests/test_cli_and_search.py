@@ -85,6 +85,32 @@ class TestConfigValidation:
         for ok in ("off", "losses", "all", True, False, None):
             TrainConfig(use_pallas=ok)
 
+    def test_image_size_must_divide_by_encoder_depth(self):
+        """100x100 at depth 3 cannot round-trip (the stride-2 chain ceils to 13,
+        the decoder doubles back to 104) — rejected at config time."""
+        from vaegan_tpu.config import Config, DataConfig, GeneratorConfig
+        with pytest.raises(ValueError, match="divisible"):
+            Config(generator=GeneratorConfig(depth=3),
+                   data=DataConfig(image_size=100))
+        Config(generator=GeneratorConfig(depth=3), data=DataConfig(image_size=96))
+
+    def test_feature_tap_validated(self):
+        from vaegan_tpu.config import DiscriminatorConfig
+        with pytest.raises(ValueError, match="feature_tap"):
+            DiscriminatorConfig(feature_tap="fc2")
+        with pytest.raises(ValueError, match="fc1"):
+            DiscriminatorConfig(feature_tap="fc1", linear_widths=())
+        for ok in ("res_out", "pool", "fc1"):
+            DiscriminatorConfig(feature_tap=ok)
+
+    def test_experiment_rejects_kwargs_alongside_config_overrides(self):
+        """config_overrides is a complete config; silently discarding explicit
+        kwargs would train with hyperparameters the caller didn't ask for."""
+        from vaegan_tpu.api import experiment
+        from vaegan_tpu.config import preset
+        with pytest.raises(ValueError, match="config_overrides"):
+            experiment(lr=1e-4, config_overrides=preset("notebook"))
+
 
 class TestRandomSearchRun:
     def test_one_trial_end_to_end(self, tmp_path, monkeypatch):

@@ -170,6 +170,24 @@ class TestInference:
         state, _ = train(cfg)
         return cfg, state
 
+    def test_evaluate_mse_empty_loader_raises(self, trained):
+        """An empty loader must not score a perfect 0.0 (the search ranks
+        trials by this number)."""
+        cfg, state = trained
+        with pytest.raises(ValueError, match="empty loader"):
+            inference.evaluate_mse(cfg, state, iter(()))
+
+    def test_mask_injection_rejected_under_full_pallas_fusion(self, trained):
+        """The fused block kernel bypasses the Dropout modules, so a parity
+        mask replay under use_pallas='all' must fail loudly, not silently
+        compare different dropout."""
+        from vaegan_tpu.train import make_train_step
+        cfg, _ = trained
+        cfg_all = cfg.replace(train=cfg.train.replace(use_pallas="all"))
+        with pytest.raises(ValueError, match="mask"):
+            make_train_step(cfg_all, do_g_update=True,
+                            inject={"g_masks": {}})
+
     def test_reconstruct(self, trained):
         cfg, state = trained
         batch = jnp.asarray(SyntheticDataset(4, 16).load_batch([0, 1, 2, 3]))

@@ -98,6 +98,19 @@ class TestShapes:
         out = gen.apply(v, z, train=False, method=gen.decode)
         assert out.shape == (2, 32, 32, 1)
 
+    def test_encode_decode_paths_non_vae(self):
+        """is_vae=False creates no code-head params (the forward skips it);
+        encode must return the encoder features instead of crashing on the
+        missing mu conv — serving always exports an encode entry."""
+        gen = UnsupervisedGeneratorNetwork(cfg=GeneratorConfig(is_vae=False))
+        x = jnp.zeros((2, 32, 32, 1))
+        v = gen.init(RNGS, x, train=False)
+        assert "code_processor" not in v["params"]
+        z = gen.apply(v, x, train=False, method=gen.encode)
+        assert z.shape == (2, 8, 8, 256)
+        out = gen.apply(v, z, train=False, method=gen.decode)
+        assert out.shape == (2, 32, 32, 1)
+
 
 class TestSemantics:
     def test_eval_deterministic_train_stochastic(self):

@@ -109,6 +109,21 @@ class TestBundle:
         recon, _ = bundle.reconstruct(np.zeros((2, 16, 16, 1), np.float32))
         assert recon.shape == (2, 16, 16, 1)
 
+    def test_pallas_all_config_exports_portably(self, cfg_state, tmp_path):
+        """A use_pallas='all' training config must still export a cpu+tpu
+        bundle: the entry builder disables fusion (eval-mode fused BN is
+        p=0-identical; Mosaic kernels have no CPU lowering)."""
+        cfg, state = cfg_state
+        cfg_pallas = cfg.replace(train=cfg.train.replace(use_pallas="all"))
+        serving.save_bundle(str(tmp_path), cfg_pallas, state,
+                            platforms=("cpu", "tpu"))
+        bundle = serving.load_bundle(str(tmp_path))
+        batch = np.random.default_rng(0).random((2, 16, 16, 1), np.float32)
+        recon, mse = bundle.reconstruct(batch)
+        r_ref, m_ref = inference.reconstruct(cfg, state, jax.numpy.asarray(batch))
+        np.testing.assert_allclose(np.asarray(recon), np.asarray(r_ref),
+                                   rtol=2e-5, atol=2e-5)
+
     def test_future_version_rejected(self, cfg_state, tmp_path):
         cfg, state = cfg_state
         mpath = serving.save_bundle(str(tmp_path), cfg, state, platforms=("cpu",))

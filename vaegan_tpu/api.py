@@ -24,22 +24,22 @@ from vaegan_tpu.train.state import TrainState
 
 def experiment(
     *,
-    network_depth: int = 2,
-    network_length: int = 1,
-    feature_size: int = 64,
+    network_depth: Optional[int] = None,      # default 2
+    network_length: Optional[int] = None,     # default 1
+    feature_size: Optional[int] = None,       # default 64
     discriminator_params: Optional[Dict[str, Any]] = None,
-    is_vae: bool = True,
-    lr: float = 3e-4,
-    n_epochs: int = 3,
-    adversarial_loss_weight: float = 1.0,
-    reconstruction_loss_weight: float = 10.0,
-    kl_weight: float = 0.1,
-    n_critics: int = 1,
-    image_size: int = 96,
-    batch_size: int = 4,
-    root_dir: str = "nii",
-    synthetic_data: bool = False,
-    seed: int = 0,
+    is_vae: Optional[bool] = None,            # default True
+    lr: Optional[float] = None,               # default 3e-4
+    n_epochs: Optional[int] = None,           # default 3
+    adversarial_loss_weight: Optional[float] = None,   # default 1.0
+    reconstruction_loss_weight: Optional[float] = None,  # default 10.0
+    kl_weight: Optional[float] = None,        # default 0.1
+    n_critics: Optional[int] = None,          # default 1
+    image_size: Optional[int] = None,         # default 96
+    batch_size: Optional[int] = None,         # default 4
+    root_dir: Optional[str] = None,           # default "nii"
+    synthetic_data: Optional[bool] = None,    # default False
+    seed: Optional[int] = None,               # default 0
     config_overrides: Optional[Config] = None,
     loader=None,
     neptune_run=None,
@@ -52,29 +52,56 @@ def experiment(
     842-849) — pass a ``neptune.init_run``-style object and the 7 reference
     channels stream to it via :class:`~vaegan_tpu.utils.metrics.NeptuneSink`
     (``run.stop()`` is called at the end, README.md:856-857)."""
+    kwargs = dict(
+        network_depth=network_depth, network_length=network_length,
+        feature_size=feature_size, discriminator_params=discriminator_params,
+        is_vae=is_vae, lr=lr, n_epochs=n_epochs,
+        adversarial_loss_weight=adversarial_loss_weight,
+        reconstruction_loss_weight=reconstruction_loss_weight,
+        kl_weight=kl_weight, n_critics=n_critics, image_size=image_size,
+        batch_size=batch_size, root_dir=root_dir,
+        synthetic_data=synthetic_data, seed=seed)
     if config_overrides is not None:
+        passed = [k for k, v in kwargs.items() if v is not None]
+        if passed:
+            # config_overrides is a COMPLETE config, not a base to merge into —
+            # silently discarding explicit kwargs would train with
+            # hyperparameters the caller did not ask for
+            raise ValueError(
+                f"config_overrides replaces the whole config; also passing "
+                f"{passed} is ambiguous — set those fields on the Config "
+                f"(cfg.replace(...)) instead")
         cfg = config_overrides
     else:
+        defaults = dict(
+            network_depth=2, network_length=1, feature_size=64, is_vae=True,
+            lr=3e-4, n_epochs=3, adversarial_loss_weight=1.0,
+            reconstruction_loss_weight=10.0, kl_weight=0.1, n_critics=1,
+            image_size=96, batch_size=4, root_dir="nii",
+            synthetic_data=False, seed=0)
+        v = {k: (defaults[k] if kwargs.get(k) is None else kwargs[k])
+             for k in defaults}
         d = discriminator_params or dict(
             num_stride_conv1=1, num_features_conv1=64, num_blocks=(1, 1, 1),
             num_strides_res=(1, 2, 2), num_features_res=(128, 256, 512))
         base = Config()
         cfg = base.replace(
             generator=GeneratorConfig(
-                depth=network_depth, length=network_length,
-                feature_size=feature_size, is_vae=is_vae),
+                depth=v["network_depth"], length=v["network_length"],
+                feature_size=v["feature_size"], is_vae=v["is_vae"]),
             discriminator=DiscriminatorConfig(
-                **{k: tuple(v) if isinstance(v, (list, tuple)) else v
-                   for k, v in d.items()}),
+                **{k: tuple(x) if isinstance(x, (list, tuple)) else x
+                   for k, x in d.items()}),
             loss=base.loss.replace(
-                adversarial_weight=adversarial_loss_weight,
-                reconstruction_weight=reconstruction_loss_weight,
-                kl_weight=kl_weight),
-            optim=base.optim.replace(lr=lr),
+                adversarial_weight=v["adversarial_loss_weight"],
+                reconstruction_weight=v["reconstruction_loss_weight"],
+                kl_weight=v["kl_weight"]),
+            optim=base.optim.replace(lr=v["lr"]),
             data=base.data.replace(
-                image_size=image_size, batch_size=batch_size, root_dir=root_dir,
-                synthetic=synthetic_data),
-            train=base.train.replace(n_epochs=n_epochs, n_critics=n_critics, seed=seed),
+                image_size=v["image_size"], batch_size=v["batch_size"],
+                root_dir=v["root_dir"], synthetic=v["synthetic_data"]),
+            train=base.train.replace(n_epochs=v["n_epochs"],
+                                     n_critics=v["n_critics"], seed=v["seed"]),
         )
     logger = None
     if neptune_run is not None:

@@ -87,6 +87,14 @@ class DiscriminatorConfig(_Replaceable):
         object.__setattr__(self, "num_strides_res", _freeze(self.num_strides_res))
         object.__setattr__(self, "num_features_res", _freeze(self.num_features_res))
         object.__setattr__(self, "linear_widths", _freeze(self.linear_widths))
+        valid_taps = {"res_out", "pool"} | (
+            {"fc1"} if self.linear_widths else set())
+        if self.feature_tap not in valid_taps:
+            raise ValueError(
+                f"feature_tap must be one of {sorted(valid_taps)} for this "
+                f"architecture, got {self.feature_tap!r}"
+                + ("" if self.linear_widths else
+                   " ('fc1' needs a non-empty linear_widths)"))
 
 
 @dataclass(frozen=True)
@@ -238,6 +246,17 @@ class Config(_Replaceable):
     data: DataConfig = field(default_factory=DataConfig)
     parallel: ParallelConfig = field(default_factory=ParallelConfig)
     train: TrainConfig = field(default_factory=TrainConfig)
+
+    def __post_init__(self):
+        # the encoder halves the resolution generator.depth times and the
+        # decoder exactly doubles it back; a non-divisible size cannot
+        # round-trip (100 -> ceil chain -> 13 -> 104) and would desync
+        # latent_shape/serving specs. Fail at config time, not trace time.
+        f = 2 ** self.generator.depth
+        if self.data.image_size % f:
+            raise ValueError(
+                f"data.image_size={self.data.image_size} must be divisible by "
+                f"2**generator.depth={f} for an exact encode/decode round-trip")
 
     # ------------------------------------------------------------------ json io
     def to_dict(self) -> dict:

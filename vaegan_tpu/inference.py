@@ -28,6 +28,17 @@ def _gen_vars(state: TrainState):
     return {"params": state.g_params, "batch_stats": state.g_stats}
 
 
+def eval_reconstruct(cfg: Config, gen, gvars, batch: jax.Array):
+    """Eval-mode reconstruction + the reference's one-batch MSE
+    (README.md:1235). Shared by the jitted inference path below and the
+    serving export (vaegan_tpu.serving), so the served metric's definition
+    lives in exactly one place."""
+    out = gen.apply(gvars, batch, train=False)
+    recon = out[0] if cfg.generator.is_vae else out
+    mse = jnp.mean(jnp.square(recon.astype(jnp.float32) - batch.astype(jnp.float32)))
+    return recon, mse
+
+
 def with_ema(state: TrainState) -> TrainState:
     """View of ``state`` whose generator params are the EMA iterate
     (``cfg.train.ema_decay``); every inference function then evaluates the
@@ -41,10 +52,7 @@ def with_ema(state: TrainState) -> TrainState:
 @functools.partial(jax.jit, static_argnums=0)
 def _reconstruct(cfg: Config, state: TrainState, batch: jax.Array):
     gen, _ = build_models(cfg)
-    out = gen.apply(_gen_vars(state), batch, train=False)
-    recon = out[0] if cfg.generator.is_vae else out
-    mse = jnp.mean(jnp.square(recon.astype(jnp.float32) - batch.astype(jnp.float32)))
-    return recon, mse
+    return eval_reconstruct(cfg, gen, _gen_vars(state), batch)
 
 
 def reconstruct(cfg: Config, state: TrainState, batch: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -109,4 +117,9 @@ def evaluate_mse(cfg: Config, state: TrainState, loader, num_batches: int = 1) -
         _, mse = reconstruct(cfg, state, jnp.asarray(batch))
         total += float(mse)
         n += 1
-    return total / max(n, 1)
+    if n == 0:
+        # a silent 0.0 would rank as a PERFECT score downstream (the search
+        # orders trials by this number) — an empty loader is a data-path bug
+        raise ValueError("evaluate_mse got an empty loader (no batches); "
+                         "check root_dir / dataset size vs batch_size")
+    return total / n

@@ -190,6 +190,13 @@ class UnsupervisedGeneratorNetwork(nn.Module):
 
     def encode(self, x: jax.Array, *, train: bool = False) -> jax.Array:
         h = self.encoder(x, train=train)
+        if not self.cfg.is_vae:
+            # non-VAE: __call__ never touches the code head, so its params are
+            # never created (and would be untrained noise if they were) — the
+            # encoder features ARE the code. The reference's own is_vae=False
+            # forward is unusable anyway (README.md:646 binds the processor's
+            # 3-tuple into the decoder), so there is no behavior to mirror.
+            return h
         return self.code_processor.encode(h)
 
     def decode(self, z: jax.Array, *, train: bool = False) -> jax.Array:

@@ -80,7 +80,13 @@ def conv_init(scheme: str, *, transpose: bool = False, spectral: bool = False):
 
 
 def linear_init(scheme: str):
-    return kaiming_normal  # reference init_weights hits every nn.Linear
+    # 'clean' and 'reference' coincide for Linear: the reference's
+    # init_weights hits every nn.Linear with kaiming (README.md:700-707).
+    # Still validate so a typo'd scheme fails here too, not only at the
+    # first Conv2D (a linear-only path would otherwise silently accept it).
+    if scheme not in ("clean", "reference"):
+        raise ValueError(f"unknown init scheme {scheme!r}")
+    return kaiming_normal
 
 
 zeros = jax.nn.initializers.zeros

@@ -42,7 +42,7 @@ import jax.numpy as jnp
 from jax import export as jax_export
 
 from vaegan_tpu.config import Config
-from vaegan_tpu.inference import latent_shape
+from vaegan_tpu.inference import _gen_vars, eval_reconstruct, latent_shape
 from vaegan_tpu.train.state import TrainState, build_models
 
 MANIFEST_NAME = "manifest.json"
@@ -51,22 +51,21 @@ _ARTIFACT_SUFFIX = ".stablehlo"
 BUNDLE_VERSION = 1
 
 
-def _gen_vars(state: TrainState):
-    return {"params": state.g_params, "batch_stats": state.g_stats}
-
-
 def _entry_fns(cfg: Config, state: TrainState) -> Dict[str, Callable]:
     """The three eval-mode entry points, with weights closed over (they become
-    constants in the exported module — the artifact is self-contained)."""
+    constants in the exported module — the artifact is self-contained).
+
+    Models are built with Pallas fusion OFF: a bundle must lower for every
+    target platform (default cpu+tpu), and Mosaic kernels have no CPU
+    lowering. Eval-mode fused BN runs at dropout p=0, so the unfused graph is
+    mathematically identical — the toggle only ever affected training-step
+    throughput."""
+    cfg = cfg.replace(train=cfg.train.replace(use_pallas="off"))
     gen, _ = build_models(cfg)
     gvars = _gen_vars(state)
 
     def reconstruct(batch):
-        out = gen.apply(gvars, batch, train=False)
-        recon = out[0] if cfg.generator.is_vae else out
-        mse = jnp.mean(jnp.square(recon.astype(jnp.float32) -
-                                  batch.astype(jnp.float32)))
-        return recon, mse
+        return eval_reconstruct(cfg, gen, gvars, batch)
 
     def encode(batch):
         return gen.apply(gvars, batch, train=False, method=gen.encode)

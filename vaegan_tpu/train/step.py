@@ -290,6 +290,16 @@ def make_train_step(cfg: Config, do_g_update: bool, axis_name=None,
         return make_accum_train_step(cfg, do_g_update, axis_name, inject,
                                      do_gp, gp_lambda_scale)
     inject = inject or {}
+    mask_keys = [k for k in inject if k.endswith("masks")]
+    if mask_keys and pallas_mode(cfg.train.use_pallas) == "all":
+        # block fusion routes BN+act+dropout through the Pallas kernel, which
+        # draws its own PRNG mask and never consults the Dropout module's
+        # injected 'masks' collection — a parity replay would silently compare
+        # against different dropout
+        raise ValueError(
+            f"dropout-mask injection ({mask_keys}) is incompatible with "
+            f"use_pallas='all' (the fused block kernel bypasses the Dropout "
+            f"modules); use use_pallas='losses' or 'off' for parity replays")
     gen, disc = build_models(cfg, axis_name)
     tx_g = build_optimizer(cfg.optim, "g")
     tx_d = build_optimizer(cfg.optim, "d")
