@@ -92,8 +92,12 @@ bool parse_header(const std::vector<uint8_t>& raw, Header* h) {
     if (sz != 348) { g_error = "not a NIfTI-1 file"; return false; }
     h->big_endian = true;
   }
-  if (std::memcmp(raw.data() + 344, "n+1", 3) != 0 &&
-      std::memcmp(raw.data() + 344, "ni1", 3) != 0) {
+  if (std::memcmp(raw.data() + 344, "ni1", 3) == 0) {
+    // detached .hdr/.img pair: voxels are in a separate .img we don't open
+    g_error = "detached NIfTI-1 pair ('ni1' magic) unsupported; use single-file .nii";
+    return false;
+  }
+  if (std::memcmp(raw.data() + 344, "n+1", 3) != 0) {
     g_error = "bad magic"; return false;
   }
   int16_t ndim = load_le<int16_t>(raw.data() + 40, h->big_endian);

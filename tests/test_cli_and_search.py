@@ -48,6 +48,37 @@ class TestSearchHelpers:
         assert list(cfg.discriminator.num_features_res) == p["num_features_res"]
         assert cfg.optim.lr == p["lr"]
 
+    def test_params_to_config_preserves_unsearched_fields(self):
+        """Trials must explore the BASE architecture family: non-searched
+        fields (in_channels, is_vae, pool_size…) survive into every trial."""
+        from vaegan_tpu.config import Config
+        base = Config()
+        base = base.replace(
+            generator=base.generator.replace(in_channels=3, is_vae=False),
+            discriminator=base.discriminator.replace(pool_size=2,
+                                                     feature_tap="pool"))
+        p = S.make_random_params(np.random.default_rng(1))
+        cfg = S.params_to_config(base, p)
+        assert cfg.generator.in_channels == 3
+        assert cfg.generator.is_vae is False
+        assert cfg.discriminator.pool_size == 2
+        assert cfg.discriminator.feature_tap == "pool"
+
+    def test_register_if_new_atomic_dedup_and_update(self, tmp_path):
+        """register_if_new reserves under one lock (concurrent same-seed
+        searches can't both run a trial); update_in_json finalizes by id."""
+        path = tmp_path / "params.json"
+        params = {"a": 1, "num_blocks": [1]}
+        e1 = {"id": "x", "params": params, "status": "pending"}
+        assert S.register_if_new(e1, path) is True
+        assert S.register_if_new({"id": "y", "params": params,
+                                  "status": "pending"}, path) is False
+        e1 = {**e1, "status": "ok", "recon_mse": 0.5}
+        S.update_in_json(e1, path)
+        reg = json.load(open(path))
+        assert len(reg) == 1
+        assert reg[0]["status"] == "ok" and reg[0]["recon_mse"] == 0.5
+
     def test_registry_concurrent_appends_lose_nothing(self, tmp_path):
         """Two searches sharing a registry (the natural multi-chip-host usage)
         must not drop each other's trials: register_in_json serializes its

@@ -34,6 +34,22 @@ class TestCodec:
         nifti.write_nifti(tmp_path / "a.nii.gz", img)
         np.testing.assert_allclose(nifti.read_nifti(tmp_path / "a.nii.gz"), img, rtol=1e-6)
 
+    def test_detached_pair_magic_rejected(self, tmp_path):
+        """'ni1' magic marks a detached .hdr/.img pair whose voxels live in a
+        separate file — both parsers must reject it instead of decoding the
+        header file's trailing bytes as image data."""
+        img = np.arange(12, dtype=np.float32).reshape(3, 4)
+        p = tmp_path / "pair.nii"
+        nifti.write_nifti(p, img)
+        raw = bytearray(p.read_bytes())
+        raw[344:348] = b"ni1\x00"
+        p.write_bytes(bytes(raw))
+        with pytest.raises(ValueError, match="detached"):
+            nifti.read_nifti(p)
+        if nifti.have_native():
+            with pytest.raises(Exception, match="detached|decode"):
+                nifti.load_image(p, 16, use_native=True)
+
     def test_load_image_normalizes_and_resizes(self, nii_dir):
         out = nifti.load_image(nii_dir / "hand_000.nii", 96, use_native=False)
         assert out.shape == (96, 96, 1)

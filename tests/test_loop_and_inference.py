@@ -311,6 +311,26 @@ class TestResume:
         with pytest.raises(ValueError, match="ema_decay"):
             train(cfg2, resume=True)
 
+    def test_force_save_overwrites_existing_step(self, tmp_path):
+        """save(force=True) must overwrite a step that already exists —
+        cmd_import re-imports into an existing dir and a silent no-op would
+        serve stale weights."""
+        from vaegan_tpu.checkpoint import CheckpointManager
+        cfg = tiny_cfg(tmp_path)
+        state = create_train_state(cfg, jax.random.key(0))
+        mgr = CheckpointManager(str(tmp_path / "ck"))
+        mgr.save(state, force=True)
+        mgr.wait()
+        bumped = state.replace(g_params=jax.tree.map(lambda x: x + 1.0,
+                                                     state.g_params))
+        mgr.save(bumped, force=True)  # same step value
+        mgr.wait()
+        restored = mgr.restore(state)
+        mgr.close()
+        a = jax.tree.leaves(restored.g_params)[0]
+        b = jax.tree.leaves(state.g_params)[0]
+        assert not np.allclose(np.asarray(a), np.asarray(b))
+
     def test_saved_has_g_ema_unreadable_metadata_is_none(self, tmp_path):
         """The EMA probe is tri-state: an orbax metadata layout it does not
         recognize (e.g. after an orbax upgrade) returns None ("undeterminable,

@@ -43,7 +43,18 @@ class TestStepTimer:
         t = StepTimer(warmup=2)
         t.tick()
         r = t.result(images_per_step=4)
-        assert r == {"steps_per_sec": 0.0, "images_per_sec": 0.0}
+        assert r == {"steps_per_sec": 0.0, "images_per_sec": 0.0,
+                     "seconds_per_step": 0.0}
+
+    def test_zero_warmup_times_from_construction(self):
+        """warmup=0 (pre-warmed caller) must actually measure: tick() only
+        fires after each step, so the clock starts at construction."""
+        t = StepTimer(warmup=0)
+        t.tick()
+        r = t.result(images_per_step=4)
+        assert r["steps_per_sec"] > 0.0
+        assert r["images_per_sec"] > 0.0
+        assert r["seconds_per_step"] > 0.0
 
     def test_sync_value_path(self):
         t = StepTimer(warmup=1)

@@ -28,10 +28,20 @@ class CheckpointManager:
         )
 
     def save(self, state: TrainState, *, force: bool = False) -> None:
+        """Persist ``state`` under its step number.
+
+        ``force=True`` means OVERWRITE an existing step (orbax's own ``force``
+        kwarg does not — it still raises StepAlreadyExistsError): cmd_import
+        re-imports into an existing dir, where a silent keep-the-old-weights
+        no-op would serve stale parameters. Without force, an
+        already-persisted step is a no-op (e.g. the loop's final save landing
+        on a step the periodic save already wrote)."""
         step = int(jax.device_get(state.step))
         if step in (self._mgr.all_steps() or []):
-            return  # already persisted (e.g. periodic save landed on the final step)
-        self._mgr.save(step, args=ocp.args.StandardSave(state), force=force)
+            if not force:
+                return
+            self._mgr.delete(step)
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
 
     def restore(self, template: TrainState, step: Optional[int] = None) -> TrainState:
         step = self._mgr.latest_step() if step is None else step

@@ -66,7 +66,13 @@ def read_nifti(path: Union[str, Path]) -> np.ndarray:
     (scl_slope,) = struct.unpack_from(f"{bo}f", raw, 112)
     (scl_inter,) = struct.unpack_from(f"{bo}f", raw, 116)
     magic = raw[344:348]
-    if magic[:3] not in (b"n+1", b"ni1"):
+    if magic[:3] == b"ni1":
+        # detached .hdr/.img pair: voxels live in a separate .img file this
+        # reader does not open — decoding the header file's trailing bytes as
+        # voxels would be silent garbage
+        raise ValueError(f"{path}: detached NIfTI-1 pair ('ni1' magic) is "
+                         "unsupported; convert to single-file .nii ('n+1')")
+    if magic[:3] != b"n+1":
         raise ValueError(f"{path}: bad magic {magic!r}")
     if datatype not in _DTYPES:
         raise ValueError(f"{path}: unsupported datatype code {datatype}")

@@ -83,14 +83,12 @@ def _load_registry(results_path) -> List[Dict[str, Any]]:
     return []
 
 
-def register_in_json(entry: Dict[str, Any], results_path) -> None:
-    """Append ``entry`` to the JSON registry, safely under concurrency.
-
-    The read-modify-write is serialized through an ``flock`` on a sidecar lock
-    file (the registry itself is replaced atomically, so a reader never sees a
-    torn file): two searches running against the same registry — the natural
-    way to use a multi-chip host — cannot silently drop each other's trials.
-    The reference's ``register_in_json`` (README.md:1158-1168) had no locking
+def _locked_mutate(results_path, mutate) -> Any:
+    """Run ``mutate(registry) -> result`` on the loaded registry under the
+    sidecar flock, atomically replacing the file afterwards. The lock
+    serializes concurrent searches (the natural way to use a multi-chip host)
+    so read-modify-writes cannot silently drop each other's trials — the
+    reference's ``register_in_json`` (README.md:1158-1168) had no locking
     (and never ran)."""
     import fcntl
 
@@ -100,21 +98,61 @@ def register_in_json(entry: Dict[str, Any], results_path) -> None:
         fcntl.flock(lock, fcntl.LOCK_EX)
         try:
             registry = _load_registry(p)
-            registry.append(entry)
+            result = mutate(registry)
             tmp = p.with_suffix(f".tmp{os.getpid()}")
             with open(tmp, "w") as f:
                 json.dump(registry, f, indent=2)
             os.replace(tmp, p)
+            return result
         finally:
             fcntl.flock(lock, fcntl.LOCK_UN)
 
 
+def register_in_json(entry: Dict[str, Any], results_path) -> None:
+    """Append ``entry`` to the JSON registry, safely under concurrency."""
+    _locked_mutate(results_path, lambda reg: reg.append(entry))
+
+
+def register_if_new(entry: Dict[str, Any], results_path) -> bool:
+    """Atomic dedup-and-reserve: append ``entry`` only if no registry entry
+    has the same params; returns whether it was added. Checking and reserving
+    under ONE lock closes the race where two concurrent searches (or a
+    same-seed rerun) both pass a separate dedup check and run the identical
+    trial twice."""
+    key = json.dumps(entry.get("params", {}), sort_keys=True)
+
+    def mutate(registry):
+        if any(json.dumps(r.get("params", {}), sort_keys=True) == key
+               for r in registry):
+            return False
+        registry.append(entry)
+        return True
+
+    return _locked_mutate(results_path, mutate)
+
+
+def update_in_json(entry: Dict[str, Any], results_path) -> None:
+    """Replace the registry entry with ``entry``'s id (append if missing)."""
+
+    def mutate(registry):
+        for i, r in enumerate(registry):
+            if r.get("id") == entry.get("id"):
+                registry[i] = entry
+                return
+        registry.append(entry)
+
+    _locked_mutate(results_path, mutate)
+
+
 def params_to_config(base: Config, params: Dict[str, Any]) -> Config:
+    # replace(), not fresh dataclasses: the base config's non-searched fields
+    # (in_channels, is_vae, res_mode, pool_size, linear_widths, feature_tap…)
+    # must survive into every trial
     return base.replace(
-        generator=GeneratorConfig(
+        generator=base.generator.replace(
             depth=params["network_depth"], length=params["network_length"],
             feature_size=params["feature_size"]),
-        discriminator=DiscriminatorConfig(
+        discriminator=base.discriminator.replace(
             num_stride_conv1=params["num_stride_conv1"],
             num_features_conv1=params["num_features_conv1"],
             num_blocks=tuple(params["num_blocks"]),
@@ -144,17 +182,35 @@ def random_search(base: Config, n_trials: int, results_path="result/params.json"
     from vaegan_tpu.data.pipeline import make_loader
     from vaegan_tpu.train.loop import train
 
+    import shutil
+
     rng = np.random.default_rng(seed)
     Path(archive_dir).mkdir(parents=True, exist_ok=True)
     added = []
-    for trial in range(n_trials):
+    trial, draws = 0, 0
+    # a dedup hit resamples instead of consuming the trial budget (re-running
+    # with the same seed against an existing registry must do NEW work, not
+    # silently nothing); the draw cap bounds the loop when the whole filtered
+    # space is already explored
+    max_draws = max(50, 20 * n_trials)
+    while trial < n_trials and draws < max_draws:
+        draws += 1
         params = make_random_params(rng)
-        if check_already_done(params, results_path):
-            continue
         run_id = str(uuid.uuid4())
-        entry: Dict[str, Any] = {"id": run_id, "params": params}
+        entry: Dict[str, Any] = {"id": run_id, "params": params,
+                                 "status": "pending"}
+        # atomic dedup-and-reserve: concurrent same-seed searches see each
+        # other's reservation and resample instead of running the trial twice
+        if not register_if_new(entry, results_path):
+            continue
+        trial += 1
         try:
             cfg = params_to_config(base, params)
+            # per-trial sample dir: train() WIPES cfg.train.sample_dir at start
+            # (the reference's rmtree, README.md:765) — a shared dir races
+            # concurrent searches between their glob and archive steps
+            cfg = cfg.replace(train=cfg.train.replace(
+                sample_dir=f"{cfg.train.sample_dir}_{run_id}"))
             if max_steps_per_trial is not None:
                 cfg = cfg.replace(train=cfg.train.replace(
                     max_steps=max_steps_per_trial
@@ -171,11 +227,13 @@ def random_search(base: Config, n_trials: int, results_path="result/params.json"
                           key=lambda p: int(p.stem)) if sample_dir.exists() else []
             if pngs:
                 os.replace(pngs[-1], Path(archive_dir) / f"{run_id}.png")
+            shutil.rmtree(sample_dir, ignore_errors=True)
         except Exception as e:  # OOM, XLA aborts, shape errors — record and continue
             entry["status"] = "failed"
             entry["error"] = f"{type(e).__name__}: {e}"[:500]
-        register_in_json(entry, results_path)
+        update_in_json(entry, results_path)  # pending -> ok/failed
         added.append(entry)
-        print(f"[search {trial + 1}/{n_trials}] {entry['status']}"
-              + (f" mse={entry.get('recon_mse'):.4f}" if entry.get("recon_mse") else ""))
+        mse_v = entry.get("recon_mse")
+        print(f"[search {trial}/{n_trials}] {entry['status']}"
+              + (f" mse={mse_v:.4f}" if mse_v is not None else ""))
     return added

@@ -247,7 +247,9 @@ def train(
 
     logger.flush()
     if ckpt is not None:
-        ckpt.save(state, force=True)
+        # no force: if the periodic save already persisted this step, keep it
+        # (force now means OVERWRITE, for re-imports — checkpoint.py)
+        ckpt.save(state)
         ckpt.wait()
     elapsed = time.time() - t0
     executed = global_step - start_step

@@ -42,7 +42,9 @@ class StepTimer:
     def __init__(self, warmup: int = 2):
         self.warmup = warmup
         self._count = 0
-        self._t0: Optional[float] = None
+        # warmup=0 (pre-warmed caller): the measured window starts NOW — tick()
+        # fires only after each step, so it could never start a zero-warmup clock
+        self._t0: Optional[float] = time.perf_counter() if warmup == 0 else None
 
     def tick(self, sync_value: Optional[jax.Array] = None) -> None:
         """Call once per step; pass a (small) device value to hard-sync on."""
@@ -57,7 +59,8 @@ class StepTimer:
             float(jax.device_get(sync_value))
         steps = self._count - self.warmup
         if self._t0 is None or steps <= 0:
-            return {"steps_per_sec": 0.0, "images_per_sec": 0.0}
+            return {"steps_per_sec": 0.0, "images_per_sec": 0.0,
+                    "seconds_per_step": 0.0}
         dt = time.perf_counter() - self._t0
         return {
             "steps_per_sec": steps / dt,
