@@ -247,6 +247,22 @@ class TestTrainDataParallel:
         h = [m for m in logger.history if "_wall_s" not in m]
         assert len(h) == 2 and all(np.isfinite(v) for m in h for v in m.values())
 
+    def test_lazy_gp_under_dp(self, tmp_path):
+        """gp_every composes with the GSPMD step map: the one-call DP entry
+        compiles the (do_g, do_gp) variants and the loop schedules them —
+        the gp metric is nonzero exactly on every gp_every-th global step."""
+        from vaegan_tpu.parallel.train import train_data_parallel
+        cfg = tiny_cfg()
+        cfg = cfg.replace(
+            data=cfg.data.replace(batch_size=16, synthetic=True, synthetic_size=64),
+            train=cfg.train.replace(n_epochs=1, gp_every=2, sample_interval=0,
+                                    sample_dir=str(tmp_path / "s")))
+        state, logger = train_data_parallel(cfg)
+        gps = [m["gp"] for m in logger.history if "gp" in m]
+        assert len(gps) == 4
+        assert gps[0] != 0.0 and gps[2] != 0.0
+        assert gps[1] == 0.0 and gps[3] == 0.0
+
     def test_grad_accum_under_dp(self, mesh):
         """grad_accum's microbatch scan composes with the GSPMD-sharded step."""
         cfg = tiny_cfg()
