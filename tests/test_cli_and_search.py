@@ -249,6 +249,10 @@ class TestCli:
         assert rc == 0
         out = capsys.readouterr().out
         assert "Mean squared error" in out
+        # --hbm-cache drives the same run through the DeviceDataLoader
+        rc = main(["train", "--config", str(tmp_path / "cfg.json"),
+                   "--hbm-cache", "--max-steps", "1"])
+        assert rc == 0
 
     def test_eval_ema_flag(self, tmp_path, capsys, monkeypatch):
         """train --ema-decay then eval --ema: the EMA leaf round-trips through

@@ -427,6 +427,17 @@ class TestReproducibility:
             np.asarray(jax.tree.leaves(jax.device_get(s1.g_params))[0]),
             np.asarray(jax.tree.leaves(jax.device_get(s2.g_params))[0]))
 
+    def test_hbm_cache_loader_is_bit_identical_to_host_loader(self, tmp_path):
+        """data.hbm_cache swaps the feed (host decode+H2D -> on-device gather)
+        without touching semantics: same seed => identical trained params."""
+        cfg = tiny_cfg(tmp_path)
+        s_host, _ = train(cfg)
+        s_dev, _ = train(cfg.replace(data=cfg.data.replace(hbm_cache=True)))
+        assert int(jax.device_get(s_dev.step)) == int(jax.device_get(s_host.step))
+        for a, b in zip(jax.tree.leaves(jax.device_get(s_host.g_params)),
+                        jax.tree.leaves(jax.device_get(s_dev.g_params))):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
 
 class TestResumeFastForward:
     def test_skip_without_decode(self, tmp_path, monkeypatch):

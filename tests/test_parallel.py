@@ -298,3 +298,22 @@ class TestTrainDataParallel:
         cfg = cfg.replace(data=cfg.data.replace(batch_size=15, synthetic=True))
         with pytest.raises(ValueError, match="divisible"):
             train_data_parallel(cfg)
+
+    def test_hbm_cache_under_dp_matches_host_feed(self, tmp_path):
+        """data.hbm_cache under the one-call DP entry: the dataset is staged
+        replicated over the mesh and batches gather straight into the
+        data-sharded layout — trained params identical to the host feed."""
+        from vaegan_tpu.parallel.train import train_data_parallel
+        cfg = tiny_cfg()
+        cfg = cfg.replace(
+            data=cfg.data.replace(batch_size=16, synthetic=True,
+                                  synthetic_size=32),
+            train=cfg.train.replace(n_epochs=1, sample_interval=0,
+                                    sample_dir=str(tmp_path / "s")))
+        s_host, _ = train_data_parallel(cfg)
+        s_dev, _ = train_data_parallel(
+            cfg.replace(data=cfg.data.replace(hbm_cache=True)))
+        assert int(jax.device_get(s_dev.step)) == 2
+        for a, b in zip(jax.tree.leaves(jax.device_get(s_host.g_params)),
+                        jax.tree.leaves(jax.device_get(s_dev.g_params))):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

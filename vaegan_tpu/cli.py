@@ -34,6 +34,8 @@ def _load_cfg(args):
         d = d.replace(root_dir=args.data_dir)
     if getattr(args, "synthetic", False):
         d = d.replace(synthetic=True)
+    if getattr(args, "hbm_cache", False):
+        d = d.replace(hbm_cache=True)
     if getattr(args, "batch_size", None):
         d = d.replace(batch_size=args.batch_size)
     if getattr(args, "image_size", None):
@@ -325,6 +327,11 @@ def main(argv=None) -> int:
     sp.add_argument("--grad-accum", type=int,
                     help="microbatch accumulation factor >= 1 (one optimizer "
                          "update per accumulated batch)")
+    sp.add_argument("--hbm-cache", action="store_true",
+                    help="stage the whole decoded dataset in device memory and "
+                         "gather batches on-device (removes the per-step H2D "
+                         "image feed; single-process runs, dataset must fit "
+                         "in HBM — docs/DATA.md §4b)")
     sp.add_argument("--max-steps", type=int,
                     help="hard optimizer-step budget; 0 = unbounded "
                          "(overrides the config)")

@@ -153,6 +153,14 @@ class DataConfig(_Replaceable):
     synthetic_size: int = 1200         # ~dataset size of the reference (README.md:970)
     cache: bool = False                # decode-once memmapped dataset cache
     cache_path: Optional[str] = None   # default: <root_dir>/.cache_<size>.npy
+    # Stage the whole decoded dataset in device memory (HBM) once and gather
+    # each batch on-device from staged images + tiny index transfers — removes
+    # the per-step host->device image feed entirely. Fits when
+    # N * H * W * 4 bytes is small vs HBM (the reference's ~1200-image dataset
+    # is 44 MB at 96^2, 315 MB at 256^2). Single-process runs only (each
+    # process would otherwise need the full dataset addressable); epoch
+    # shuffle order is IDENTICAL to the host loader's (same RNG stream).
+    hbm_cache: bool = False
 
 
 @dataclass(frozen=True)

@@ -320,6 +320,88 @@ class DataLoader:
             raise err[0]
 
 
+class DeviceDataLoader:
+    """HBM-staged loader: the whole decoded dataset lives on device; batches are
+    gathered on-device from tiny host-side index transfers.
+
+    The reference decodes + ships every image host->device every step
+    (README.md:79-90, 785); the host ``DataLoader`` above already amortizes the
+    decode, but still pays one image-batch H2D per step. For datasets that fit
+    in HBM (the reference's ~1200 images are 44 MB at 96^2) this loader removes
+    the feed from the step's critical path entirely: one ``device_put`` of the
+    full dataset at construction, then each batch is ``images[idx]`` under jit
+    (idx = batch_size int32s, ~KBs). With a data-parallel ``sharding`` the
+    staged images are replicated over the mesh and the gather's output is
+    sharded over the data axis — each device slices its own shard locally, no
+    collective.
+
+    Epoch semantics (shuffle stream, drop_last, ``skip_epoch``/``iter_batches``
+    resume hooks) are identical to ``DataLoader`` with the same seed, so a run
+    is bit-identical whichever loader feeds it. Single-process runs only.
+    """
+
+    def __init__(self, dataset, batch_size: int = 4, shuffle: bool = True,
+                 drop_last: bool = False, seed: int = 0, sharding=None):
+        if jax.process_count() > 1:
+            raise ValueError(
+                "DeviceDataLoader (data.hbm_cache) supports single-process runs "
+                "only — in a multi-host run each process can address only its "
+                "own devices; use the process-sharded host DataLoader instead")
+        import jax.numpy as jnp
+
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self._rng = np.random.default_rng(seed)
+
+        n = len(dataset)
+        host = dataset.load_batch(range(n))
+        if host.nbytes > 2 << 30:
+            import warnings
+            warnings.warn(
+                f"hbm_cache is staging {host.nbytes / 2**30:.1f} GiB of images "
+                "in device memory — make sure this fits next to the training "
+                "working set", stacklevel=2)
+        replicated = None
+        if sharding is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            replicated = NamedSharding(sharding.mesh, PartitionSpec())
+        self.images = jax.device_put(host, replicated)
+        self._gather = jax.jit(
+            lambda imgs, idx: jnp.take(imgs, idx, axis=0),
+            out_shardings=sharding)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _epoch_indices(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(idx)
+        return idx
+
+    def skip_epoch(self) -> None:
+        """Advance the shuffle RNG one epoch without gathering (resume
+        fast-forward, same contract as DataLoader.skip_epoch)."""
+        self._epoch_indices()
+
+    def __iter__(self) -> Iterator[jax.Array]:
+        return self.iter_batches(0)
+
+    def iter_batches(self, start: int = 0) -> Iterator[jax.Array]:
+        idx = self._epoch_indices()
+        n = len(idx)
+        stops = range(0, n - self.batch_size + 1, self.batch_size) if self.drop_last \
+            else range(0, n, self.batch_size)
+        for s in list(stops)[start:]:
+            sl = np.asarray(idx[s: s + self.batch_size], np.int32)
+            # the gather dispatch is async: the device batch is "in flight" the
+            # moment it is yielded, so device_prefetch's depth works unchanged
+            yield self._gather(self.images, sl)
+
+
 def device_prefetch(iterator: Iterator[np.ndarray], sharding=None,
                     depth: int = 2,
                     global_batch: Optional[int] = None) -> Iterator[jax.Array]:
@@ -375,16 +457,31 @@ def make_dataset(cfg: DataConfig):
 
 
 def make_loader(cfg: DataConfig, seed: int = 0,
-                process_index: int = None, process_count: int = None) -> DataLoader:
+                process_index: int = None, process_count: int = None,
+                sharding=None, drop_last: Optional[bool] = None):
     """Build the configured loader. In a multi-process run the loader is
     automatically sharded by ``jax.process_index()/process_count()`` (pass
     explicit values to override, e.g. in tests) — each host decodes a distinct
-    ``batch_size/process_count`` shard of every global batch."""
+    ``batch_size/process_count`` shard of every global batch.
+
+    ``cfg.hbm_cache`` selects the ``DeviceDataLoader`` (single-process only):
+    the decoded dataset is staged in device memory once and batches are
+    gathered on-device with the given ``sharding``. ``drop_last`` overrides
+    ``cfg.drop_last`` when not None (the loop forces it for grad-accum /
+    data-parallel runs)."""
     if process_count is None:
         process_count = jax.process_count()
     if process_index is None:
         process_index = jax.process_index() if process_count > 1 else 0
+    if drop_last is None:
+        drop_last = cfg.drop_last
+    if cfg.hbm_cache:
+        # DeviceDataLoader itself raises for multi-process runs; checking
+        # process_count here would miss the single-process default path
+        return DeviceDataLoader(make_dataset(cfg), batch_size=cfg.batch_size,
+                                shuffle=cfg.shuffle, drop_last=drop_last,
+                                seed=seed, sharding=sharding)
     return DataLoader(make_dataset(cfg), batch_size=cfg.batch_size,
-                      shuffle=cfg.shuffle, drop_last=cfg.drop_last, seed=seed,
+                      shuffle=cfg.shuffle, drop_last=drop_last, seed=seed,
                       prefetch_batches=cfg.prefetch,
                       process_index=process_index, process_count=process_count)

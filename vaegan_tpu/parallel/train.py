@@ -55,14 +55,12 @@ def train_data_parallel(
         # drop it (pass your own loader to override). In a multi-process run
         # each process serves only its own batch_size/process_count shard —
         # device_prefetch assembles the global batch from the per-process
-        # shards (data/pipeline.py).
-        from vaegan_tpu.data.pipeline import DataLoader, make_dataset
-        d = cfg.data
-        loader = DataLoader(make_dataset(d), batch_size=d.batch_size,
-                            shuffle=d.shuffle, drop_last=True,
-                            seed=cfg.train.seed, prefetch_batches=d.prefetch,
-                            process_index=jax.process_index(),
-                            process_count=jax.process_count())
+        # shards (data/pipeline.py). data.hbm_cache stages the dataset in HBM
+        # (replicated over the mesh) and gathers batches straight into the
+        # data-sharded layout (single-process meshes only).
+        from vaegan_tpu.data.pipeline import make_loader
+        loader = make_loader(cfg.data, seed=cfg.train.seed, drop_last=True,
+                             sharding=batch_sharding(mesh, p.data_axis))
 
     state = create_train_state(
         cfg, jax.random.key(cfg.train.seed, impl=cfg.train.rng_impl))

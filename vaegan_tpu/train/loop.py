@@ -95,7 +95,9 @@ def train(
             # (the accum step requires batch % grad_accum == 0); drop it, like
             # the multi-process loader already does
             dcfg = dcfg.replace(drop_last=True)
-        loader = make_loader(dcfg, seed=tcfg.seed)
+        # sharding forwarded for the hbm_cache (DeviceDataLoader) path: the
+        # on-device gather emits batches already in the step's input layout
+        loader = make_loader(dcfg, seed=tcfg.seed, sharding=sharding)
     if state is None:
         state = create_train_state(cfg, key)
     if logger is None:
