@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--data-dir", default=None,
                     help="real NIfTI dir; default: the synthetic stand-in sized "
                          "like the reference's dataset (~1200 images)")
+    ap.add_argument("--data-style", default="blobs", choices=["blobs", "edges"],
+                    help="synthetic-data style (ignored with --data-dir): "
+                         "'edges' has the sharp, learnable high-frequency "
+                         "structure where the adversarial term has MSE upside")
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--image-size", type=int, default=256)
     ap.add_argument("--batch-size", type=int, default=4)
@@ -42,6 +46,10 @@ def main():
                     help="repeat-draw eval count (cell 23 runs it repeatedly)")
     ap.add_argument("--out", default="headline_out")
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--ema-decay", type=float, default=None,
+                    help="track a generator-param EMA and report BOTH iterates "
+                         "at eval (the large-batch recipe's stabilizer, "
+                         "BENCH_NOTES; e.g. 0.999)")
     args = ap.parse_args()
 
     cfg = preset("notebook_vae" if args.vae else "notebook")
@@ -49,10 +57,11 @@ def main():
         data=cfg.data.replace(
             image_size=args.image_size, batch_size=args.batch_size,
             root_dir=args.data_dir or "nii", synthetic=args.data_dir is None,
-            cache=args.data_dir is not None),
+            synthetic_style=args.data_style, cache=args.data_dir is not None),
         train=cfg.train.replace(
             n_epochs=args.epochs, dtype=args.dtype, sample_interval=100,
-            sample_dir=f"{args.out}/samples", log_every=50),
+            sample_dir=f"{args.out}/samples", log_every=50,
+            ema_decay=args.ema_decay),
     )
     Path(args.out).mkdir(parents=True, exist_ok=True)
 
@@ -64,18 +73,27 @@ def main():
     loader = make_loader(cfg.data, seed=1)
     draws = [inference.evaluate_mse(cfg, state, iter(loader))
              for _ in range(args.draws)]
+    ema_draws = None
+    if args.ema_decay is not None:
+        ema_state = inference.with_ema(state)
+        ema_draws = [inference.evaluate_mse(cfg, ema_state, iter(loader))
+                     for _ in range(args.draws)]
 
     tail = [m for m in logger.history if "_wall_s" not in m][-1]
-    print(json.dumps({
+    out = {
         "run": "plain-VAE" if args.vae else "VAE-GAN",
         "operating_point": f"{args.image_size}^2 batch {args.batch_size} "
                            f"x {args.epochs} epochs ({args.dtype})",
+        "data": args.data_dir or f"synthetic:{args.data_style}",
         "steps": int(jax.device_get(state.step)),
         "train_wall_s": round(wall, 1),
         "final_train_metrics": {k: round(float(v), 4) for k, v in tail.items()},
         "eval_mse_repeat_draws": [round(m, 4) for m in draws],
         "reference_band": "0.0790-0.0983" if args.vae else "0.0518-0.0573",
-    }, ), flush=True)
+    }
+    if ema_draws is not None:
+        out["eval_mse_repeat_draws_ema"] = [round(m, 4) for m in ema_draws]
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -161,6 +161,43 @@ class TestLoader:
         np.testing.assert_allclose(np.asarray(out[0]), ds.load_batch([0, 1, 2, 3]), rtol=1e-6)
 
 
+class TestSyntheticStyles:
+    def test_edges_style_is_quantized_and_deterministic(self):
+        ds = SyntheticDataset(6, 16, seed=0, style="edges")
+        img = ds[0]
+        assert img.shape == (16, 16, 1) and img.dtype == np.float32
+        assert img.min() >= 0.0 and img.max() <= 1.0
+        # every pixel sits on one of the 6 quantization levels k/5
+        levels = np.unique(np.round(img * 5))
+        np.testing.assert_array_equal(np.round(img * 5), img * 5)
+        assert 2 <= len(levels) <= 6
+        np.testing.assert_array_equal(img, SyntheticDataset(6, 16, seed=0, style="edges")[0])
+        # the smooth style of the same seed differs (quantization did something)
+        assert not np.array_equal(img, SyntheticDataset(6, 16, seed=0)[0])
+
+    def test_edges_has_sharp_jumps_blobs_do_not(self):
+        # the style's purpose: step discontinuities. At 96^2 the smooth style's
+        # steepest neighbor difference stays under 0.15 while the quantized
+        # style jumps a full level (0.2) at every iso-contour crossing.
+        def big_jump_fraction(ds):
+            x = np.stack([ds[i][..., 0] for i in range(len(ds))])
+            return float(np.mean(np.abs(np.diff(x, axis=-1)) > 0.15))
+        assert big_jump_fraction(SyntheticDataset(8, 96, seed=0)) == 0.0
+        assert big_jump_fraction(SyntheticDataset(8, 96, seed=0, style="edges")) > 0.05
+
+    def test_unknown_style_rejected(self):
+        with pytest.raises(ValueError, match="style"):
+            SyntheticDataset(4, 8, style="noise")
+
+    def test_config_plumbing(self):
+        from vaegan_tpu.config import DataConfig
+        from vaegan_tpu.data.pipeline import make_dataset
+        cfg = DataConfig(synthetic=True, synthetic_size=4, image_size=8,
+                         synthetic_style="edges")
+        ds = make_dataset(cfg)
+        assert ds.style == "edges"
+
+
 class TestFetchDataset:
     def _make_zip(self, tmp_path, nested=False):
         import zipfile

@@ -151,6 +151,10 @@ class DataConfig(_Replaceable):
     prefetch: int = 2                  # device-buffer depth
     synthetic: bool = False            # on-device synthetic data (benchmarks)
     synthetic_size: int = 1200         # ~dataset size of the reference (README.md:970)
+    synthetic_style: str = "blobs"     # "blobs" (smooth) | "edges" (sharp
+    #                                    iso-contours — the high-frequency regime
+    #                                    where the adversarial term has MSE upside;
+    #                                    see data.pipeline.SyntheticDataset)
     cache: bool = False                # decode-once memmapped dataset cache
     cache_path: Optional[str] = None   # default: <root_dir>/.cache_<size>.npy
     # Stage the whole decoded dataset in device memory (HBM) once and gather

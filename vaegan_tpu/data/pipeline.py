@@ -72,11 +72,30 @@ class NiftiDataset:
 
 
 class SyntheticDataset:
-    """Deterministic synthetic images in [0, 1] shaped like the hand X-rays."""
+    """Deterministic synthetic images in [0, 1] shaped like the hand X-rays.
 
-    def __init__(self, size: int = 1200, image_size: int = 96, seed: int = 0):
+    Two styles:
+
+    - ``"blobs"`` (default): smooth low-frequency random fields — cheap,
+      deterministic, and trivially fittable by pixel losses. On this data the
+      adversarial term has no pixel-MSE upside (BENCH_NOTES quality tables).
+    - ``"edges"``: the same smooth fields quantized into discrete intensity
+      levels, producing sharp iso-contour step edges whose *positions* are fully
+      determined by the underlying smooth field. This emulates the property of
+      the reference's hand X-rays that its adversarial term exploits
+      (bone/tissue boundaries): an MSE-trained decoder's posterior-mean output
+      smears the step edges, while the critic pushes reconstructions back onto
+      the sharp-edged manifold — the regime where the reference observed
+      VAE-GAN beating the plain VAE on pixel MSE (README.md:1266 vs 1319).
+    """
+
+    def __init__(self, size: int = 1200, image_size: int = 96, seed: int = 0,
+                 style: str = "blobs"):
+        if style not in ("blobs", "edges"):
+            raise ValueError(f"synthetic style must be 'blobs'|'edges', got {style!r}")
         self.size = size
         self.image_size = image_size
+        self.style = style
         self._rng = np.random.default_rng(seed)
         # smooth blobby images: low-freq random fields, minmax-normalized
         base = self._rng.normal(size=(size, 12, 12)).astype(np.float32)
@@ -88,7 +107,12 @@ class SyntheticDataset:
     def __getitem__(self, idx: int) -> np.ndarray:
         img = nifti.resize_bilinear(self._low[idx], self.image_size, self.image_size)
         lo, hi = img.min(), img.max()
-        return ((img - lo) / max(hi - lo, 1e-12))[..., None]
+        img = (img - lo) / max(hi - lo, 1e-12)
+        if self.style == "edges":
+            # quantize to L levels: sharp iso-contours at deterministic positions
+            levels = 6
+            img = np.floor(img * levels).clip(max=levels - 1) / (levels - 1)
+        return img.astype(np.float32)[..., None]
 
     def load_batch(self, indices: Sequence[int]) -> np.ndarray:
         return np.stack([self[i] for i in indices])
@@ -446,7 +470,8 @@ def device_prefetch(iterator: Iterator[np.ndarray], sharding=None,
 
 def make_dataset(cfg: DataConfig):
     if cfg.synthetic:
-        ds = SyntheticDataset(cfg.synthetic_size, cfg.image_size)
+        ds = SyntheticDataset(cfg.synthetic_size, cfg.image_size,
+                              style=cfg.synthetic_style)
     else:
         ds = NiftiDataset(cfg.root_dir, cfg.image_size, num_workers=cfg.num_workers)
     if cfg.cache:
