@@ -222,7 +222,11 @@ class TrainConfig(_Replaceable):
     # 0.999), the train step maintains an exponential moving average of the
     # generator params, refreshed after every G-optimizer update; evaluate it
     # via ``inference.with_ema(state)``. A standard GAN stabilizer: the EMA
-    # iterate averages over the adversarial game's oscillations.
+    # iterate averages over the adversarial game's oscillations. Sizing note
+    # (measured, BENCH_NOTES.md): the EMA horizon is ~1/(1-decay) G-steps —
+    # 0.999 needs runs >> 1,000 G-steps. It rescued the large-batch preset
+    # (1,800 steps: 0.96 live -> 0.053 EMA) but is useless-to-harmful on the
+    # reference's short batch-4 recipe (900 steps: 0.04 live vs 0.46 EMA).
     ema_decay: Optional[float] = None
     # lazy gradient-penalty cadence (opt-in; 1 = the reference's every-step GP).
     # When k > 1 the shipped schedulers (train(), train_data_parallel, bench,
