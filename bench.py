@@ -13,6 +13,10 @@ Env knobs: BENCH_BATCH (default 128 — the measured optimum), BENCH_DTYPE
 BENCH_IMAGE (default 96), BENCH_GP_EVERY (headline default 4 — the
 quality-verified lazy-GP schedule, named in the metric string; 1 = the
 reference-faithful every-step GP; --vae/--paper default 1).
+
+Modes: (default) bare train step; --vae / --paper alternate steps; --loop
+end-to-end train() loop incl. the HBM-staged feed; --infer serving paths;
+--loader host pipeline; --roofline achieved-BW attribution.
 """
 
 from __future__ import annotations
@@ -83,6 +87,52 @@ def bench_loader() -> None:
         "unit": "images/sec",
         "vs_baseline": round(host_rate / 5000.0, 3),
         "h2d_images_per_sec_tunnel": round(h2d_rate, 1),
+    }))
+
+
+def bench_loop() -> None:
+    """End-to-end TRAINING-LOOP throughput — not the bare step but everything
+    ``train()`` runs per step: the HBM-staged data feed (``data.hbm_cache`` —
+    on-device batch gather, no per-step H2D), lazy-GP variant scheduling,
+    reference-format logging with batched metric flushes, NaN guard off,
+    checkpointing off. The gap between this number and the bare-step bench is
+    the framework's whole non-compute overhead."""
+    batch_size = int(os.environ.get("BENCH_BATCH", 128))
+    image = int(os.environ.get("BENCH_IMAGE", 96))
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    gp_every = int(os.environ.get("BENCH_GP_EVERY", 4))
+    n_steps = int(os.environ.get("BENCH_STEPS", 80))
+    n_steps = max(gp_every, n_steps - n_steps % gp_every)  # whole GP cycles
+
+    from vaegan_tpu.config import preset
+    from vaegan_tpu.train.loop import train
+
+    n_per_epoch = 10
+    cfg = preset("notebook")
+    cfg = cfg.replace(
+        data=cfg.data.replace(
+            image_size=image, batch_size=batch_size, synthetic=True,
+            synthetic_size=n_per_epoch * batch_size, drop_last=True,
+            hbm_cache=True),
+        train=cfg.train.replace(
+            dtype=dtype, gp_every=gp_every, sample_interval=0,
+            n_epochs=(n_steps + n_per_epoch - 1) // n_per_epoch + 1),
+    )
+    # pass 1 compiles both lazy-GP variants into the persistent cache; pass 2
+    # is the measurement (its first-step cache hit is part of the honest
+    # end-to-end cost, amortized over BENCH_STEPS)
+    for max_steps in (2 * gp_every, n_steps):
+        run_cfg = cfg.replace(train=cfg.train.replace(max_steps=max_steps))
+        _, logger = train(run_cfg)
+    tail = logger.history[-1]
+    rate = tail["_images_per_sec"]
+    print(json.dumps({
+        "metric": f"{image}x{image} end-to-end training loop images/sec/chip "
+                  f"(train(): hbm_cache feed + logging; batch {batch_size}, "
+                  f"{dtype}, lazy GP 1/{gp_every}, {tail['_steps']} steps)",
+        "value": round(rate, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(rate / 5000.0, 3),
     }))
 
 
@@ -315,6 +365,8 @@ def main(preset_name: str = "notebook") -> None:
 if __name__ == "__main__":
     if "--loader" in sys.argv:
         bench_loader()
+    elif "--loop" in sys.argv:
+        bench_loop()
     elif "--infer" in sys.argv:
         bench_infer()
     elif "--roofline" in sys.argv:

@@ -60,3 +60,13 @@ def test_lazy_gp_mode_labels_metric():
     rec = _run(extra_env={"BENCH_GP_EVERY": "2", "BENCH_STEPS": "4"})
     assert "lazy GP 1/2" in rec["metric"]
     assert rec["unit"] == "images/sec/chip" and rec["value"] > 0
+
+
+def test_loop_mode_runs():
+    """--loop drives the real train() end-to-end (hbm_cache feed + logging)
+    and reports the loop's wall-clock rate in the same JSON contract."""
+    rec = _run(["--loop"], extra_env={"BENCH_GP_EVERY": "2", "BENCH_STEPS": "4"})
+    assert "end-to-end training loop" in rec["metric"]
+    assert "hbm_cache" in rec["metric"] and "lazy GP 1/2" in rec["metric"]
+    assert rec["unit"] == "images/sec/chip" and rec["value"] > 0
+    assert abs(rec["vs_baseline"] - round(rec["value"] / 5000.0, 3)) < 1e-9
