@@ -24,6 +24,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
 from pathlib import Path
 
@@ -116,7 +117,11 @@ def bench_loop() -> None:
             hbm_cache=True),
         train=cfg.train.replace(
             dtype=dtype, gp_every=gp_every, sample_interval=0,
-            n_epochs=(n_steps + n_per_epoch - 1) // n_per_epoch + 1),
+            n_epochs=(n_steps + n_per_epoch - 1) // n_per_epoch + 1,
+            # keep the bench out of the CWD (the notebook preset's sample_dir
+            # is the reference's gan_inference folder, wiped at train start)
+            sample_dir=os.path.join(tempfile.mkdtemp(prefix="bench_loop_"),
+                                    "samples")),
     )
     # pass 1 compiles both lazy-GP variants into the persistent cache; pass 2
     # is the measurement (its first-step cache hit is part of the honest
