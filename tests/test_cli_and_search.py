@@ -249,6 +249,12 @@ class TestCli:
         assert rc == 0
         out = capsys.readouterr().out
         assert "Mean squared error" in out
+        # standing-stats recalibration before eval
+        rc = main(["eval", "--config", str(tmp_path / "cfg.json"),
+                   "--checkpoint", str(tmp_path / "ckpt"),
+                   "--recalibrate-bn", "3"])
+        assert rc == 0
+        assert "Mean squared error" in capsys.readouterr().out
         # --hbm-cache drives the same run through the DeviceDataLoader
         rc = main(["train", "--config", str(tmp_path / "cfg.json"),
                    "--hbm-cache", "--max-steps", "1"])

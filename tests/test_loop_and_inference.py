@@ -177,6 +177,44 @@ class TestInference:
         with pytest.raises(ValueError, match="empty loader"):
             inference.evaluate_mse(cfg, state, iter(()))
 
+    def test_recalibrate_bn_stats_repairs_polluted_stats(self, tmp_path):
+        """Standing-stats recalibration: garbage running BN stats (the drift
+        signature of a long adversarial run, BENCH_NOTES 256²x9-epochs) are
+        re-estimated from the final params and the eval metric recovers.
+
+        Needs a model trained long enough that its BN running stats genuinely
+        matter (a near-init model's stats squash activations and accidentally
+        score BETTER than true moments), hence its own 160-step fixture."""
+        cfg = tiny_cfg(tmp_path)
+        cfg = cfg.replace(train=cfg.train.replace(n_epochs=40, sample_interval=0))
+        state, _ = train(cfg)
+        from vaegan_tpu.data.pipeline import make_loader
+        loader = make_loader(cfg.data, seed=0)
+        base = inference.evaluate_mse(cfg, state, iter(loader))
+        # pollute: scale/shift every running stat far from the data
+        bad = jax.tree.map(lambda x: x * 400.0 + 20.0, state.g_stats)
+        polluted = state.replace(g_stats=bad)
+        hurt = inference.evaluate_mse(cfg, polluted, iter(loader))
+        assert hurt > base * 10, (base, hurt)
+        fixed = inference.recalibrate_bn_stats(
+            cfg, polluted, make_loader(cfg.data, seed=0), num_batches=60)
+        recovered = inference.evaluate_mse(cfg, fixed, iter(loader))
+        assert recovered < base * 1.3, (base, hurt, recovered)
+        # params untouched; only batch_stats replaced; deterministic
+        for a, b in zip(jax.tree.leaves(state.g_params),
+                        jax.tree.leaves(fixed.g_params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        again = inference.recalibrate_bn_stats(
+            cfg, polluted, make_loader(cfg.data, seed=0), num_batches=60)
+        for a, b in zip(jax.tree.leaves(fixed.g_stats),
+                        jax.tree.leaves(again.g_stats)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_recalibrate_empty_loader_raises(self, trained):
+        cfg, state = trained
+        with pytest.raises(ValueError, match="empty loader"):
+            inference.recalibrate_bn_stats(cfg, state, iter(()))
+
     def test_mask_injection_rejected_under_full_pallas_fusion(self, trained):
         """The fused block kernel bypasses the Dropout modules, so a parity
         mask replay under use_pallas='all' must fail loudly, not silently

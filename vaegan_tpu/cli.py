@@ -137,6 +137,10 @@ def cmd_eval(args):
     state = _restore(cfg, args.checkpoint)
     if getattr(args, "ema", False):
         state = inference.with_ema(state)
+    if getattr(args, "recalibrate_bn", 0):
+        state = inference.recalibrate_bn_stats(
+            cfg, state, make_loader(cfg.data, seed=cfg.train.seed + 1),
+            num_batches=args.recalibrate_bn)
     loader = make_loader(cfg.data, seed=cfg.train.seed)
     mse = inference.evaluate_mse(cfg, state, iter(loader), num_batches=args.num_batches)
     print(f"Mean squared error between original and reconstructed images: {mse:.4f}")
@@ -377,6 +381,11 @@ def main(argv=None) -> int:
     sp.add_argument("--ema", action="store_true",
                     help="evaluate the generator-EMA iterate (requires a checkpoint trained with ema_decay)")
     sp.add_argument("--num-batches", type=int, default=1)
+    sp.add_argument("--recalibrate-bn", type=int, default=0, metavar="N",
+                    help="re-estimate the generator's BN running stats from N "
+                         "data batches before evaluating (standing-stats "
+                         "recalibration — repairs the train/eval gap a long "
+                         "adversarial run opens; see inference.recalibrate_bn_stats)")
     sp.set_defaults(fn=cmd_eval)
 
     sp = sub.add_parser("sample", help="decode prior samples")

@@ -107,6 +107,74 @@ def interpolate(cfg: Config, state: TrainState, x1: jax.Array, x2: jax.Array,
     return _interpolate(cfg, state, (x1, x2), steps)
 
 
+def recalibrate_bn_stats(cfg: Config, state: TrainState, loader,
+                         num_batches: int = 50) -> TrainState:
+    """Re-estimate the generator's BatchNorm running statistics from the FINAL
+    parameters (standing-stats recalibration, the standard GAN eval repair —
+    cf. BigGAN's standing statistics / SWA's ``update_bn``).
+
+    Why it exists: the reference's eval protocol normalizes with running BN
+    stats (``model.eval()``, README.md:1217), which are an EMA over the whole
+    training trajectory. A long adversarial run drifts — the terminal params'
+    activation distribution no longer matches stats averaged over the orbit,
+    opening a train/eval reconstruction gap (measured at 256²x9-epochs:
+    train recon 0.18 vs eval MSE 1.2-1.37, BENCH_NOTES.md). This pass replays
+    ``num_batches`` through the generator in stat-collection mode — batch-stat
+    normalization, running-stat update with the module's own torch-momentum
+    0.1, dropout OFF, deterministic z = mu (the eval distribution) — without
+    touching any parameter, and returns a state whose ``g_stats`` describe the
+    final generator instead of the trajectory.
+
+    The result is the EXACT mean of the per-batch moments over ``num_batches``
+    (SWA's ``update_bn`` form, not an EMA) — the stale stats contribute nothing
+    regardless of how far they drifted. Deterministic: no RNG is consumed
+    (dropout is disabled by construction and the code is evaluated at its
+    mean).
+    """
+    from vaegan_tpu.models.layers import BatchNorm
+
+    # dropout off so collected stats match the eval-mode data flow; same param
+    # tree (dropout is parameterless), so state.g_params applies unchanged
+    rcfg = cfg.replace(generator=cfg.generator.replace(dropout_prob=0.0))
+    momentum = BatchNorm.momentum  # the layers' torch-exact default (0.1)
+    zeros = jax.tree.map(jnp.zeros_like, state.g_stats)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def batch_moments(cfg_: Config, params, batch):
+        """One stat-collection forward from ZEROED running stats; the update
+        rule new = (1-m)*old + m*batch with old = 0 gives batch = new/m — the
+        per-batch moments, exactly. (Train-mode normalization uses the batch
+        stats, so the zeroed old values never touch the activations.)"""
+        gen, _ = build_models(cfg_)
+        eps = None
+        if cfg_.generator.is_vae:
+            h, w, c = latent_shape(cfg_, batch.shape[1])
+            eps = jnp.zeros((batch.shape[0], h, w, c), jnp.float32)  # z = mu
+        _, upd = gen.apply({"params": params, "batch_stats": zeros}, batch,
+                           train=True, eps=eps, mutable=["batch_stats"])
+        return jax.tree.map(lambda new: new / momentum, upd["batch_stats"])
+
+    acc = None
+    n = 0
+    # a re-iterable loader (anything that is not already an iterator) is looped
+    # over as many epochs as num_batches needs; a bare iterator is consumed once
+    reiterable = not (hasattr(loader, "__next__") and iter(loader) is loader)
+    while n < num_batches:
+        before = n
+        for batch in loader:
+            if n >= num_batches:
+                break
+            bm = batch_moments(rcfg, state.g_params, jnp.asarray(batch))
+            acc = bm if acc is None else jax.tree.map(
+                lambda a, b, k=n: a + (b - a) / (k + 1), acc, bm)
+            n += 1
+        if n == before or not reiterable:
+            break
+    if n == 0:
+        raise ValueError("recalibrate_bn_stats got an empty loader")
+    return state.replace(g_stats=acc)
+
+
 def evaluate_mse(cfg: Config, state: TrainState, loader, num_batches: int = 1) -> float:
     """Reference eval protocol: MSE over ``num_batches`` loader batches
     (README.md:1219-1235 uses exactly one)."""
