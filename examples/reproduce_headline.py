@@ -50,6 +50,11 @@ def main():
                     help="track a generator-param EMA and report BOTH iterates "
                          "at eval (the large-batch recipe's stabilizer, "
                          "BENCH_NOTES; e.g. 0.999)")
+    ap.add_argument("--recalibrate-bn", type=int, default=0, metavar="N",
+                    help="also report eval MSE after re-estimating the BN "
+                         "running stats from N data batches (standing-stats "
+                         "recalibration; repairs the train/eval gap of a long "
+                         "adversarial run — inference.recalibrate_bn_stats)")
     args = ap.parse_args()
 
     cfg = preset("notebook_vae" if args.vae else "notebook")
@@ -78,6 +83,13 @@ def main():
         ema_state = inference.with_ema(state)
         ema_draws = [inference.evaluate_mse(cfg, ema_state, iter(loader))
                      for _ in range(args.draws)]
+    recal_draws = None
+    if args.recalibrate_bn:
+        recal = inference.recalibrate_bn_stats(
+            cfg, state, make_loader(cfg.data, seed=2),
+            num_batches=args.recalibrate_bn)
+        recal_draws = [inference.evaluate_mse(cfg, recal, iter(loader))
+                       for _ in range(args.draws)]
 
     tail = [m for m in logger.history if "_wall_s" not in m][-1]
     out = {
@@ -93,6 +105,9 @@ def main():
     }
     if ema_draws is not None:
         out["eval_mse_repeat_draws_ema"] = [round(m, 4) for m in ema_draws]
+    if recal_draws is not None:
+        out["eval_mse_repeat_draws_bn_recalibrated"] = [round(m, 4)
+                                                        for m in recal_draws]
     print(json.dumps(out), flush=True)
 
 
