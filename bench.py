@@ -120,6 +120,10 @@ def bench_loop() -> None:
             hbm_cache=True),
         train=cfg.train.replace(
             dtype=dtype, gp_every=gp_every, sample_interval=0,
+            # reference-faithful per-batch metric flush by default (each flush
+            # is one host sync — over the dev tunnel that is the dominant loop
+            # overhead; BENCH_LOG_EVERY=k batches the sync to every k steps)
+            log_every=int(os.environ.get("BENCH_LOG_EVERY", 1)),
             n_epochs=(n_steps + n_per_epoch - 1) // n_per_epoch + 1,
             # keep the bench out of the CWD (the notebook preset's sample_dir
             # is the reference's gan_inference folder, wiped at train start)
@@ -146,6 +150,7 @@ def bench_loop() -> None:
         "unit": "images/sec/chip",
         "vs_baseline": round(rate / 5000.0, 3),
         "fixed_overhead_s": round(walls[n1] - n1 * batch_size / rate, 1),
+        "log_every": int(os.environ.get("BENCH_LOG_EVERY", 1)),
     }))
 
 
