@@ -6,7 +6,8 @@ real/fake/interpolates with grad-of-grad penalty, both optimizer updates and the
 weight clamp — on synthetic on-device data, steady-state.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with
-vs_baseline = value / 5000 (the BASELINE.json target of >=5k imgs/s/chip).
+vs_baseline = value / 5000 (the BASELINE.json target of >=5k imgs/s/chip),
+derived from the rounded printed value so the record is self-consistent.
 
 Env knobs: BENCH_BATCH (default 128 — the measured optimum), BENCH_DTYPE
 (bfloat16|float32, default bfloat16), BENCH_STEPS (default 20),
@@ -86,7 +87,7 @@ def bench_loader() -> None:
         "metric": f"{image}x{image} cached-dataset host serving rate (batch {batch_size})",
         "value": round(host_rate, 1),
         "unit": "images/sec",
-        "vs_baseline": round(host_rate / 5000.0, 3),
+        "vs_baseline": round(round(host_rate, 1) / 5000.0, 3),
         "h2d_images_per_sec_tunnel": round(h2d_rate, 1),
     }))
 
@@ -148,7 +149,7 @@ def bench_loop() -> None:
                   f"{n_steps - n1} steps)",
         "value": round(rate, 1),
         "unit": "images/sec/chip",
-        "vs_baseline": round(rate / 5000.0, 3),
+        "vs_baseline": round(round(rate, 1) / 5000.0, 3),
         "fixed_overhead_s": round(walls[n1] - n1 * batch_size / rate, 1),
         "log_every": int(os.environ.get("BENCH_LOG_EVERY", 1)),
     }))
@@ -290,12 +291,12 @@ def bench_infer() -> None:
         "metric": f"{image}x{image} eval-mode reconstruction images/sec/chip "
                   f"(batch {batch_size}, {dtype})",
         "value": round(recon_rate, 1), "unit": "images/sec/chip",
-        "vs_baseline": round(recon_rate / 5000.0, 3)}))
+        "vs_baseline": round(round(recon_rate, 1) / 5000.0, 3)}))
     print(json.dumps({
         "metric": f"{image}x{image} prior-sample decode images/sec/chip "
                   f"(batch {batch_size}, {dtype})",
         "value": round(sample_rate, 1), "unit": "images/sec/chip",
-        "vs_baseline": round(sample_rate / 5000.0, 3)}))
+        "vs_baseline": round(round(sample_rate, 1) / 5000.0, 3)}))
     print(json.dumps({
         "metric": f"{image}x{image} batch-1 reconstruction latency",
         "value": round(lat1 * 1e3, 2), "unit": "ms", "vs_baseline": None}))
@@ -376,7 +377,7 @@ def main(preset_name: str = "notebook") -> None:
                   f"(batch {batch_size}, {dtype}{lazy})",
         "value": round(imgs_per_sec, 1),
         "unit": "images/sec/chip",
-        "vs_baseline": round(imgs_per_sec / 5000.0, 3),
+        "vs_baseline": round(round(imgs_per_sec, 1) / 5000.0, 3),
     }))
 
 
