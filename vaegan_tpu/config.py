@@ -328,6 +328,10 @@ def preset(name: str) -> Config:
 
     - ``vae_96``        — BASELINE config 1: plain VAE (adv weight 0), 96x96, batch 4.
     - ``gan_only``      — BASELINE config 2: discriminator-only DCGAN-style BCE training.
+      Note: with no reconstruction anchor the BCE game is D-dominant at short
+      budgets (D loss -> 0 while G keeps learning under the non-saturating
+      loss) — measured across critic sizes and TTUR in BENCH_NOTES.md; the
+      anchored configs (1, 3, 5) are the quality-verified ones.
     - ``vaegan_paper``  — BASELINE config 3: Dis_l feature matching + BCE + three optimizers.
     - ``vaegan_infer``  — BASELINE config 4: inference/generation-path config.
     - ``vaegan_256_dp`` — BASELINE config 5: 256x256, large batch, data parallel.
