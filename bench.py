@@ -29,7 +29,10 @@ import tempfile
 import time
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parent))
+try:  # driver contract: must run from an uninstalled checkout too
+    import vaegan_tpu  # noqa: F401
+except ImportError:  # pragma: no cover - `pip install -e .` is the normal path
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import jax
 import jax.numpy as jnp
@@ -113,6 +116,7 @@ def bench_loop() -> None:
     from vaegan_tpu.train.loop import train
 
     n_per_epoch = 10
+    tmp = tempfile.TemporaryDirectory(prefix="bench_loop_")  # removed at exit
     cfg = preset("notebook")
     cfg = cfg.replace(
         data=cfg.data.replace(
@@ -128,8 +132,7 @@ def bench_loop() -> None:
             n_epochs=(n_steps + n_per_epoch - 1) // n_per_epoch + 1,
             # keep the bench out of the CWD (the notebook preset's sample_dir
             # is the reference's gan_inference folder, wiped at train start)
-            sample_dir=os.path.join(tempfile.mkdtemp(prefix="bench_loop_"),
-                                    "samples")),
+            sample_dir=os.path.join(tmp.name, "samples")),
     )
     # pass 0 compiles both lazy-GP variants into the persistent cache; passes
     # 1 and 2 each pay the same fixed costs (state init, dataset staging,

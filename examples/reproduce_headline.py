@@ -14,11 +14,9 @@ Prints one JSON line with the final train metrics and the repeat-draw eval MSEs.
 
 import argparse
 import json
-import sys
 import time
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 

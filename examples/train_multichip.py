@@ -15,10 +15,7 @@ script on every host with ``--coordinator host0:1234 --num-processes P
 
 import argparse
 import os
-import sys
-from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def main():

@@ -7,10 +7,8 @@ Run synthetically:    python examples/train_vaegan.py
 """
 
 import argparse
-import sys
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 import jax.numpy as jnp

@@ -20,9 +20,7 @@ JSON line per check and PASS/FAIL; exit code 0 only if all pass.
 
 import json
 import sys
-from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp

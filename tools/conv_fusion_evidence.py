@@ -20,11 +20,9 @@ the north star's "fused kernels" mandate is about.
 
 import argparse
 import re
-import sys
 from collections import Counter
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 import jax.numpy as jnp

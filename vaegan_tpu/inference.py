@@ -120,8 +120,8 @@ def recalibrate_bn_stats(cfg: Config, state: TrainState, loader,
     opening a train/eval reconstruction gap (measured at 256²x9-epochs:
     train recon 0.18 vs eval MSE 1.2-1.37, BENCH_NOTES.md). This pass replays
     ``num_batches`` through the generator in stat-collection mode — batch-stat
-    normalization, running-stat update with the module's own torch-momentum
-    0.1, dropout OFF, deterministic z = mu (the eval distribution) — without
+    normalization, each module's own momentum derived numerically from the
+    update itself, dropout OFF, deterministic z = mu (the eval distribution) — without
     touching any parameter, and returns a state whose ``g_stats`` describe the
     final generator instead of the trajectory.
 
@@ -131,43 +131,53 @@ def recalibrate_bn_stats(cfg: Config, state: TrainState, loader,
     (dropout is disabled by construction and the code is evaluated at its
     mean).
     """
-    from vaegan_tpu.models.layers import BatchNorm
-
     # dropout off so collected stats match the eval-mode data flow; same param
     # tree (dropout is parameterless), so state.g_params applies unchanged
     rcfg = cfg.replace(generator=cfg.generator.replace(dropout_prob=0.0))
-    momentum = BatchNorm.momentum  # the layers' torch-exact default (0.1)
     zeros = jax.tree.map(jnp.zeros_like, state.g_stats)
+    ones = jax.tree.map(jnp.ones_like, state.g_stats)
 
     @functools.partial(jax.jit, static_argnums=0)
-    def batch_moments(cfg_: Config, params, batch):
-        """One stat-collection forward from ZEROED running stats; the update
-        rule new = (1-m)*old + m*batch with old = 0 gives batch = new/m — the
-        per-batch moments, exactly. (Train-mode normalization uses the batch
-        stats, so the zeroed old values never touch the activations.)"""
+    def collect(cfg_: Config, params, stats, batch):
+        """One stat-collection forward from the given running stats; with the
+        update rule new = (1-m)*old + m*batch, old = 0 yields m*batch. (Train-
+        mode normalization uses the batch stats, so the old values never touch
+        the activations — the output stats are the only thing `old` affects.)"""
         gen, _ = build_models(cfg_)
         eps = None
         if cfg_.generator.is_vae:
             h, w, c = latent_shape(cfg_, batch.shape[1])
             eps = jnp.zeros((batch.shape[0], h, w, c), jnp.float32)  # z = mu
-        _, upd = gen.apply({"params": params, "batch_stats": zeros}, batch,
+        _, upd = gen.apply({"params": params, "batch_stats": stats}, batch,
                            train=True, eps=eps, mutable=["batch_stats"])
-        return jax.tree.map(lambda new: new / momentum, upd["batch_stats"])
+        return upd["batch_stats"]
 
     acc = None
     n = 0
+    momentum = None  # per-leaf momentum tree, derived numerically on batch 1
     # a re-iterable loader (anything that is not already an iterator) is looped
     # over as many epochs as num_batches needs; a bare iterator is consumed once
     reiterable = not (hasattr(loader, "__next__") and iter(loader) is loader)
     while n < num_batches:
         before = n
         for batch in loader:
-            if n >= num_batches:
-                break
-            bm = batch_moments(rcfg, state.g_params, jnp.asarray(batch))
+            batch = jnp.asarray(batch)
+            from_zero = collect(rcfg, state.g_params, zeros, batch)
+            if momentum is None:
+                # derive each module's ACTUAL momentum instead of trusting the
+                # class default: from old=1 the update gives (1-m) + m*batch,
+                # so (from_one - from_zero) = 1-m leafwise. Robust to any
+                # per-module momentum override (ADVICE r3).
+                from_one = collect(rcfg, state.g_params, ones, batch)
+                momentum = jax.tree.map(lambda o, z: 1.0 - (o - z),
+                                        from_one, from_zero)
+            bm = jax.tree.map(lambda new, m: new / m, from_zero, momentum)
             acc = bm if acc is None else jax.tree.map(
                 lambda a, b, k=n: a + (b - a) / (k + 1), acc, bm)
             n += 1
+            if n >= num_batches:
+                break  # count checked AFTER consuming, so a one-shot iterator
+                # never loses an un-processed batch (ADVICE r3)
         if n == before or not reiterable:
             break
     if n == 0:

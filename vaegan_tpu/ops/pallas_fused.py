@@ -14,7 +14,10 @@ IS the MXU path); what Pallas buys here is HBM traffic:
   logvar are read once for both.
 - ``recon_loss``: L1 + MSE partial sums in a single pass over (recon, real).
 
-Every op carries a custom VJP whose backward is also a single fused pass. All ops
+``bn_act_dropout`` and ``reparam_kl`` carry custom VJPs whose backwards are
+single fused passes; ``recon_loss``'s backward is plain jnp (``_recon_bwd``) —
+its gradient is two trivially-fusable elementwise ops XLA already merges into
+the surrounding graph, so a hand kernel would buy nothing. All ops
 fall back to plain jnp (identical math, jax.random streams instead of the TPU PRNG)
 when the platform is not TPU or shapes don't tile; ``FORCE_FALLBACK`` pins the
 fallback for tests.
