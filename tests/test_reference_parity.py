@@ -64,7 +64,8 @@ class _Recorder:
         self.alpha = []      # np.random.random draws (GP mixing)
         self.d_out = []      # every discriminator forward output
         self.g_out = []      # every generator forward output (tuple)
-        self.gp = None       # compute_gradient_penalty return value
+        self.gp = None       # latest compute_gradient_penalty return value
+        self.gp_all = []     # every compute_gradient_penalty value, in order
 
     def clear(self):
         self.__init__()
@@ -143,6 +144,7 @@ def _load_namespace():
     def recording_gp(D, real_samples, fake_samples):
         out = orig_gp(D, real_samples, fake_samples)
         rec.gp = float(out.detach())
+        rec.gp_all.append(rec.gp)
         return out
 
     ns["compute_gradient_penalty"] = recording_gp
@@ -435,6 +437,63 @@ class TestReferenceRoundTrip:
             assert float(p.abs().max()) <= 0.01 + 1e-6, name
 
 
+def _parity_cfg(p=0.0):
+    """The smallest config the reference's own classes can run (their critic
+    hardcodes 256x256): depth-1 generator, two 1-block critic stages."""
+    return Config(
+        generator=GeneratorConfig(depth=1, length=1, feature_size=4, dropout_prob=p),
+        discriminator=DiscriminatorConfig(
+            num_stride_conv1=2, num_features_conv1=4, num_blocks=(1, 1),
+            num_strides_res=(2, 2), num_features_res=(8, 8), dropout_prob=p,
+            pool_size=4, linear_widths=(1024, 512, 256)),
+        data=DataConfig(image_size=256, batch_size=2),
+        train=TrainConfig(use_pallas="off", critic_batching="separate"),
+    )
+
+
+def _parity_state(cfg, gen_sd, disc_sd):
+    """A TrainState seeded from the reference modules' initial state_dicts."""
+    gv = jax.tree.map(jnp.asarray, interop.reference_generator_to_variables(gen_sd))
+    dv = jax.tree.map(jnp.asarray, interop.reference_discriminator_to_variables(
+        disc_sd, pool_shape=(8, 8, 8)))
+    tx = build_optimizer(cfg.optim)
+    zero = jnp.zeros((), jnp.float32)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        g_params=gv["params"], d_params=dv["params"],
+        g_stats=gv["batch_stats"], d_stats=dv["batch_stats"],
+        d_spectral=dv["spectral"],
+        opt_g=tx.init(gv["params"]), opt_d=tx.init(dv["params"]),
+        g_metrics={"g_loss": zero, "adv_loss": zero, "recon_loss": zero, "kl": zero},
+    )
+
+
+def _tree_close(got, want, what, rtol, atol, grads=None,
+                zero_grad_thresh=1e-4, noise_bound=0.0):
+    """Leafwise closeness with an optional per-element escape hatch: where the
+    recorded TRUE gradient is numerically zero (< ``zero_grad_thresh``), both
+    frameworks compute amplified cancellation noise and only an
+    update-magnitude bound (``noise_bound``) is meaningful — see
+    _GradRecordingRMSprop."""
+    got_f = jax.tree_util.tree_flatten_with_path(got)[0]
+    want_f = jax.tree_util.tree_flatten_with_path(want)[0]
+    grads_f = (jax.tree_util.tree_flatten_with_path(grads)[0]
+               if grads is not None else [(None, None)] * len(got_f))
+    assert len(got_f) == len(want_f) == len(grads_f), what
+    for (pg, g), (pw, w), (_, gr) in zip(got_f, want_f, grads_f):
+        assert pg == pw, f"{what}: tree mismatch {pg} vs {pw}"
+        g, w = np.asarray(g), np.asarray(w)
+        tol = atol + rtol * np.abs(w)
+        if gr is not None:
+            tol = np.where(np.abs(np.asarray(gr)) < zero_grad_thresh,
+                           np.maximum(tol, noise_bound), tol)
+        bad = np.abs(g - w) > tol
+        assert not bad.any(), (
+            f"{what}{jax.tree_util.keystr(pg)}: {int(bad.sum())}/{bad.size} "
+            f"elements out of tolerance, max |diff| "
+            f"{float(np.abs(g - w)[bad].max()):.3e}")
+
+
 class TestReferenceOneTrainStep:
     """ONE step of the reference's own train_network_wgan (README.md:775-834) vs
     make_train_step, torch eps/alpha injected — run BOTH dropout-off and at the
@@ -504,31 +563,10 @@ class TestReferenceOneTrainStep:
         }
         return gen, disc, gen_sd0, disc_sd0, expected, g_grads, d_grads
 
-    def _our_state(self, cfg, gen_sd, disc_sd):
-        gv = jax.tree.map(jnp.asarray, interop.reference_generator_to_variables(gen_sd))
-        dv = jax.tree.map(jnp.asarray, interop.reference_discriminator_to_variables(
-            disc_sd, pool_shape=(8, 8, 8)))
-        tx = build_optimizer(cfg.optim)
-        zero = jnp.zeros((), jnp.float32)
-        return TrainState(
-            step=jnp.zeros((), jnp.int32),
-            g_params=gv["params"], d_params=dv["params"],
-            g_stats=gv["batch_stats"], d_stats=dv["batch_stats"],
-            d_spectral=dv["spectral"],
-            opt_g=tx.init(gv["params"]), opt_d=tx.init(dv["params"]),
-            g_metrics={"g_loss": zero, "adv_loss": zero, "recon_loss": zero, "kl": zero},
-        )
+    _our_state = staticmethod(_parity_state)
 
     def _cfg(self, p=0.0):
-        return Config(
-            generator=GeneratorConfig(depth=1, length=1, feature_size=4, dropout_prob=p),
-            discriminator=DiscriminatorConfig(
-                num_stride_conv1=2, num_features_conv1=4, num_blocks=(1, 1),
-                num_strides_res=(2, 2), num_features_res=(8, 8), dropout_prob=p,
-                pool_size=4, linear_widths=(1024, 512, 256)),
-            data=DataConfig(image_size=256, batch_size=2),
-            train=TrainConfig(use_pallas="off", critic_batching="separate"),
-        )
+        return _parity_cfg(p)
 
     def _mask_inject(self):
         """Convert the recorded torch dropout masks into the step's injected
@@ -582,38 +620,215 @@ class TestReferenceOneTrainStep:
         dg1 = interop.reference_discriminator_to_variables(
             d_grads, pool_shape=(8, 8, 8))["params"]
         # RMSprop update-magnitude bound: lr * g / (sqrt(0.01 g^2) + eps) < 10 * lr
-        update_bound = 10.0 * self.LR
-        zero_grad_thresh = 1e-4
-
-        def tree_close(got, want, what, rtol, atol, grads=None):
-            got_f = jax.tree_util.tree_flatten_with_path(got)[0]
-            want_f = jax.tree_util.tree_flatten_with_path(want)[0]
-            grads_f = (jax.tree_util.tree_flatten_with_path(grads)[0]
-                       if grads is not None else [(None, None)] * len(got_f))
-            assert len(got_f) == len(want_f) == len(grads_f), what
-            for (pg, g), (pw, w), (_, gr) in zip(got_f, want_f, grads_f):
-                assert pg == pw, f"{what}: tree mismatch {pg} vs {pw}"
-                g, w = np.asarray(g), np.asarray(w)
-                tol = atol + rtol * np.abs(w)
-                if gr is not None:
-                    # per-element: where the true gradient is numerically zero,
-                    # both sides move by amplified cancellation noise and only
-                    # the update-magnitude bound is meaningful
-                    tol = np.where(np.abs(np.asarray(gr)) < zero_grad_thresh,
-                                   2.5 * update_bound, tol)
-                bad = np.abs(g - w) > tol
-                assert not bad.any(), (
-                    f"{what}{jax.tree_util.keystr(pg)}: {int(bad.sum())}/{bad.size} "
-                    f"elements out of tolerance, max |diff| "
-                    f"{float(np.abs(g - w)[bad].max()):.3e}")
+        noise = 2.5 * 10.0 * self.LR
 
         # g_stats see the exact same input batch: tight. d_stats/d_spectral see
         # gen_imgs/interpolates, which carry ~1e-4 cross-framework fp32 forward
         # drift that the stat updates then integrate: looser.
-        tree_close(new_state.g_stats, gv1["batch_stats"], "g_stats", 1e-4, 1e-5)
-        tree_close(new_state.d_stats, dv1["batch_stats"], "d_stats", 2e-2, 1e-3)
-        tree_close(new_state.d_spectral, dv1["spectral"], "d_spectral", 2e-2, 1e-3)
-        tree_close(new_state.g_params, gv1["params"], "g_params", 5e-3, 5e-5,
-                   grads=gg1)
-        tree_close(new_state.d_params, dv1["params"], "d_params", 5e-3, 5e-5,
-                   grads=dg1)
+        _tree_close(new_state.g_stats, gv1["batch_stats"], "g_stats", 1e-4, 1e-5)
+        _tree_close(new_state.d_stats, dv1["batch_stats"], "d_stats", 2e-2, 1e-3)
+        _tree_close(new_state.d_spectral, dv1["spectral"], "d_spectral", 2e-2, 1e-3)
+        _tree_close(new_state.g_params, gv1["params"], "g_params", 5e-3, 5e-5,
+                    grads=gg1, noise_bound=noise)
+        _tree_close(new_state.d_params, dv1["params"], "d_params", 5e-3, 5e-5,
+                    grads=dg1, noise_bound=noise)
+
+
+class TestReferenceTrajectory:
+    """N consecutive steps of the reference's own train_network_wgan (one epoch
+    over a 4-batch dataloader, n_critics=2 — so BOTH step variants run twice:
+    G-update steps at i=0,2 and D-only steps at i=1,3, exercising the
+    stale-G-metric print path) vs our per-step ``make_train_step`` chain at the
+    reference's trained dropout p=0.5, every torch draw (reparam eps, GP alpha,
+    all dropout masks per site per forward) captured and replayed.
+
+    After EVERY step: all printed metrics (fresh D metrics each step; G metrics
+    fresh on G steps, stale carried values on D-only steps), params, RMSprop
+    square_avg state, BN running stats, and spectral u/v must agree — the
+    trajectory closure of TestReferenceOneTrainStep. One step can hide drift
+    that compounds (optimizer eps placement, stat momentum, update-then-clamp
+    interplay across the n_critics cadence); asserting after every step bounds
+    it. Reference loop: README.md:775-857.
+
+    Tolerances grow with step index: leaves whose TRUE gradient is numerically
+    zero (see _GradRecordingRMSprop) take an undetermined-direction RMSprop
+    update of up to ~10*lr per optimizer step in EACH framework independently,
+    and that state divergence feeds every later forward. The grads-aware
+    per-element bound absorbs it where it originates; the per-step growth
+    factor absorbs its echo in downstream tensors. A systematic semantic bug
+    (wrong eps placement, wrong momentum, wrong clamp order) produces errors on
+    ALL leaves at full gradient scale, which these tolerances still catch.
+    """
+
+    LR, W_ADV, W_REC, W_KL, LAMBDA_GP = 3e-4, 1.0, 10.0, 0.1, 10.0
+    N_BATCHES, N_CRITICS = 4, 2
+
+    def test_trajectory(self, ref, tmp_path):
+        ns, rec = ref
+        torch.manual_seed(21)
+        np.random.seed(23)
+        imgs = [torch.rand(2, 1, 256, 256) for _ in range(self.N_BATCHES)]
+
+        # ---- torch side: one reference epoch with per-batch state snapshots ----
+        torch.manual_seed(11)
+        gen = _build_ref_generator(ns, depth=1, length=1, feature_size=4)
+        disc = _build_ref_discriminator(
+            ns, num_stride_conv1=2, num_features_conv1=4, num_blocks=[1, 1],
+            num_strides_res=[2, 2], num_features_res=[8, 8])
+        drop_log = []
+        n_g = _record_dropout(gen, drop_log)
+        n_d = _record_dropout(disc, drop_log)
+        gen_sd0 = {k: v.detach().clone() for k, v in gen.state_dict().items()}
+        disc_sd0 = {k: v.detach().clone() for k, v in disc.state_dict().items()}
+
+        rec.clear()
+        g_grads, d_grads = {}, {}
+        opt_g = _GradRecordingRMSprop(gen, g_grads, lr=self.LR, weight_decay=1e-5)
+        opt_d = _GradRecordingRMSprop(disc, d_grads, lr=self.LR, weight_decay=1e-5)
+
+        def nu_snapshot(opt):
+            return {n: opt.state[p]["square_avg"].detach().clone()
+                    for n, p in opt._named
+                    if p in opt.state and "square_avg" in opt.state[p]}
+
+        snaps = []
+
+        def snap_print(*a, **k):  # the loop's print() fires once per batch, last
+            snaps.append({
+                "gen_sd": {k2: v.detach().clone() for k2, v in gen.state_dict().items()},
+                "disc_sd": {k2: v.detach().clone() for k2, v in disc.state_dict().items()},
+                "g_nu": nu_snapshot(opt_g), "d_nu": nu_snapshot(opt_d),
+                "g_grads": {k2: v.clone() for k2, v in g_grads.items()},
+                "d_grads": {k2: v.clone() for k2, v in d_grads.items()},
+            })
+
+        old_print = ns["print"]
+        ns["print"] = snap_print
+        try:
+            ns["train_network_wgan"](
+                n_epochs=1,
+                dataloader=imgs,
+                vae_generator=_RecordForward(gen, rec.g_out),
+                discriminator=_RecordForward(disc, rec.d_out),
+                optimizer_G=opt_g,
+                optimizer_D=opt_d,
+                reconstruction_loss_funs=[torch.nn.L1Loss(), torch.nn.MSELoss()],
+                Tensor=torch.FloatTensor,
+                sample_interval=1000,
+                gan_inference_folder=tmp_path / "gan_inference",
+                adversarial_loss_weight=self.W_ADV,
+                reconstruction_loss_weight=self.W_REC,
+                kl_weight=self.W_KL,
+                use_neptune=False,
+                n_critics=self.N_CRITICS,
+                lambda_gp=self.LAMBDA_GP,
+            )
+        finally:
+            ns["print"] = old_print
+
+        N = self.N_BATCHES
+        g_steps = [i % self.N_CRITICS == 0 for i in range(N)]
+        n_fwd = [4 if g else 3 for g in g_steps]  # D(real,fake,interp[,gen])
+        assert len(snaps) == N and len(rec.g_out) == N
+        assert len(rec.eps) == N and len(rec.alpha) == N and len(rec.gp_all) == N
+        assert len(rec.d_out) == sum(n_fwd)
+        assert len(drop_log) == N * n_g + sum(n_fwd) * n_d
+
+        # ---- segment the recorded draws / outputs into per-batch expectations ----
+        to_j = lambda t: jax.tree.map(jnp.asarray, t)
+        expected, injects = [], []
+        d_cur = mask_cur = 0
+        stale = {"g_loss": 0.0, "adv_loss": 0.0, "recon_loss": 0.0, "kl": 0.0}
+        for b in range(N):
+            douts = rec.d_out[d_cur:d_cur + n_fwd[b]]
+            d_cur += n_fwd[b]
+            gen_imgs, mu, lv = rec.g_out[b]
+            real_loss = float(-douts[0].mean())
+            fake_loss = float(douts[1].mean())
+            gp = rec.gp_all[b]
+            m = {"d_real_loss": real_loss, "d_fake_loss": fake_loss, "gp": gp,
+                 "d_loss": real_loss + fake_loss + self.LAMBDA_GP * gp}
+            if g_steps[b]:
+                adv = float(-douts[3].mean())
+                recon = float(TF.l1_loss(gen_imgs, imgs[b]) + TF.mse_loss(gen_imgs, imgs[b]))
+                kl = float(-0.5 * torch.sum(1 + lv - mu.pow(2) - lv.exp()))
+                stale = {"adv_loss": adv, "recon_loss": recon, "kl": kl,
+                         "g_loss": self.W_ADV * adv + self.W_REC * recon + self.W_KL * kl}
+            m.update(stale)
+            expected.append(m)
+
+            batch_masks = drop_log[mask_cur:mask_cur + n_g + n_fwd[b] * n_d]
+            mask_cur += len(batch_masks)
+            d_colls = [interop.reference_dropout_masks_to_collection(
+                batch_masks[n_g + i * n_d: n_g + (i + 1) * n_d], "discriminator")
+                for i in range(n_fwd[b])]
+            inj = {
+                "eps": t2j_nhwc(rec.eps[b]),
+                "alpha": jnp.asarray(np.float32(rec.alpha[b])),
+                "g_masks": to_j(interop.reference_dropout_masks_to_collection(
+                    batch_masks[:n_g], "generator")),
+                "d_masks_real": to_j(d_colls[0]),
+                "d_masks_fake": to_j(d_colls[1]),
+                "d_masks_interp": to_j(d_colls[2]),
+            }
+            if g_steps[b]:
+                inj["d_masks_gen"] = to_j(d_colls[3])
+            injects.append(inj)
+
+        # ---- our side: the same trajectory, asserted after every step ----
+        cfg = _parity_cfg(p=0.5)
+        state = _parity_state(cfg, gen_sd0, disc_sd0)
+        noise0 = 2.5 * 10.0 * self.LR     # per-optimizer-step undetermined bound
+        opt_steps_g = opt_steps_d = 0
+        for b in range(N):
+            step = make_train_step(cfg, do_g_update=g_steps[b], inject=injects[b])
+            state, metrics = jax.jit(step)(state, t2j_nhwc(imgs[b]),
+                                           jax.random.key(b))
+            opt_steps_d += 1
+            opt_steps_g += int(g_steps[b])
+            grow = 1 + b  # linear growth: noise echo integrates once per step
+
+            for k, want in expected[b].items():
+                np.testing.assert_allclose(
+                    float(jax.device_get(metrics[k])), want,
+                    rtol=2e-4 * grow, atol=2e-3 * grow,
+                    err_msg=f"step {b} metric {k}")
+
+            s = snaps[b]
+            gv = interop.reference_generator_to_variables(s["gen_sd"])
+            dv = interop.reference_discriminator_to_variables(
+                s["disc_sd"], pool_shape=(8, 8, 8))
+            gg = interop.reference_generator_to_variables(s["g_grads"])["params"]
+            dg = interop.reference_discriminator_to_variables(
+                s["d_grads"], pool_shape=(8, 8, 8))["params"]
+            g_nu = interop.reference_generator_to_variables(s["g_nu"])["params"]
+            d_nu = interop.reference_discriminator_to_variables(
+                s["d_nu"], pool_shape=(8, 8, 8))["params"]
+
+            pre = f"step{b} "
+            _tree_close(state.g_stats, gv["batch_stats"], pre + "g_stats",
+                        1e-4 * grow, 1e-5 * grow)
+            _tree_close(state.d_stats, dv["batch_stats"], pre + "d_stats",
+                        2e-2 * grow, 1e-3 * grow)
+            _tree_close(state.d_spectral, dv["spectral"], pre + "d_spectral",
+                        2e-2 * grow, 1e-3 * grow)
+            _tree_close(state.g_params, gv["params"], pre + "g_params",
+                        5e-3 * grow, 5e-5 * grow, grads=gg,
+                        noise_bound=noise0 * opt_steps_g)
+            _tree_close(state.d_params, dv["params"], pre + "d_params",
+                        5e-3 * grow, 5e-5 * grow, grads=dg,
+                        noise_bound=noise0 * opt_steps_d)
+            # RMSprop second-moment state, compared as sqrt(nu) ∝ |g_effective|.
+            # Cross-framework fp32 backward reduction order puts up to ~8%
+            # relative noise on cancellation-heavy leaves (measured at step 0 on
+            # the 1-channel input-BN scale: a sum of 2*256² dy·x_hat terms) —
+            # rtol 0.12/step absorbs it while still catching every systematic
+            # nu bug (wrong alpha: 10x; missing decay-coupling; sum-vs-mean
+            # reductions: N-fold; nonzero init). Zero-grad leaves hold squared
+            # noise only: sqrt(nu) ≲ 0.1*1e-4, escaped via atol-scale bound.
+            sq = lambda t: jax.tree.map(jnp.sqrt, t)
+            sq_np = lambda t: jax.tree.map(lambda x: np.sqrt(np.asarray(x)), t)
+            _tree_close(sq(state.opt_g.nu), sq_np(g_nu), pre + "sqrt_g_nu",
+                        0.12 * grow, 1e-7, grads=gg, noise_bound=1e-4)
+            _tree_close(sq(state.opt_d.nu), sq_np(d_nu), pre + "sqrt_d_nu",
+                        0.12 * grow, 1e-7, grads=dg, noise_bound=1e-4)
