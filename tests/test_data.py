@@ -189,6 +189,40 @@ class TestSyntheticStyles:
         with pytest.raises(ValueError, match="style"):
             SyntheticDataset(4, 8, style="noise")
 
+    def test_texture_edge_fraction_holds_with_resolution(self):
+        # the geometric claim behind BENCH_NOTES' 256^2 analysis, pinned by
+        # measurement: the fixed-base "edges" style's edge-pixel fraction
+        # shrinks ~1/L with resolution (iso-contour length ~L, area ~L^2),
+        # while "texture"'s resolution-proportional fine field keeps it
+        # roughly constant — the property real X-rays have at every scale.
+        def edge_fraction(style, size):
+            ds = SyntheticDataset(8, size, seed=0, style=style)
+            x = np.stack([ds[i][..., 0] for i in range(len(ds))])
+            gx = np.abs(np.diff(x, axis=-1))
+            gy = np.abs(np.diff(x, axis=-2))
+            # below the fine field's step height (0.4 weight x 0.2/level =
+            # 0.08) and the low field's (0.12), above the smooth fields'
+            # neighbor gradients at these resolutions
+            thr = 0.06
+            return float(np.mean(gx > thr) + np.mean(gy > thr)) / 2.0
+
+        e96, e256 = edge_fraction("edges", 96), edge_fraction("edges", 256)
+        t96, t256 = edge_fraction("texture", 96), edge_fraction("texture", 256)
+        # edges: shrinks by ~the resolution ratio (2.67x); allow slack
+        assert e256 < e96 / 1.8, (e96, e256)
+        # texture: holds within 35% across the same resolution change
+        assert t256 > t96 * 0.65, (t96, t256)
+        # and texture is actually edge-rich at 256^2 where edges is not
+        assert t256 > 2 * e256, (t256, e256)
+
+    def test_texture_style_deterministic_and_bounded(self):
+        ds = SyntheticDataset(4, 32, seed=0, style="texture")
+        img = ds[1]
+        assert img.shape == (32, 32, 1) and img.dtype == np.float32
+        assert img.min() >= 0.0 and img.max() <= 1.0
+        np.testing.assert_array_equal(
+            img, SyntheticDataset(4, 32, seed=0, style="texture")[1])
+
     def test_config_plumbing(self):
         from vaegan_tpu.config import DataConfig
         from vaegan_tpu.data.pipeline import make_dataset

@@ -34,6 +34,8 @@ def _load_cfg(args):
         d = d.replace(root_dir=args.data_dir)
     if getattr(args, "synthetic", False):
         d = d.replace(synthetic=True)
+    if getattr(args, "synthetic_style", None):
+        d = d.replace(synthetic_style=args.synthetic_style)
     if getattr(args, "hbm_cache", False):
         d = d.replace(hbm_cache=True)
     if getattr(args, "batch_size", None):
@@ -306,6 +308,10 @@ def main(argv=None) -> int:
         sp.add_argument("--config", help="JSON config file (overrides --preset)")
         sp.add_argument("--data-dir")
         sp.add_argument("--synthetic", action="store_true")
+        sp.add_argument("--synthetic-style",
+                        choices=["blobs", "edges", "texture"],
+                        help="synthetic-data style (data.pipeline."
+                             "SyntheticDataset)")
         sp.add_argument("--batch-size", type=int)
         sp.add_argument("--image-size", type=int)
         sp.add_argument("--seed", type=int)

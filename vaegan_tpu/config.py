@@ -153,7 +153,10 @@ class DataConfig(_Replaceable):
     synthetic_size: int = 1200         # ~dataset size of the reference (README.md:970)
     synthetic_style: str = "blobs"     # "blobs" (smooth) | "edges" (sharp
     #                                    iso-contours — the high-frequency regime
-    #                                    where the adversarial term has MSE upside;
+    #                                    where the adversarial term has MSE upside)
+    #                                    | "texture" (resolution-proportional
+    #                                    fine structure: the edge-pixel fraction
+    #                                    holds at 256^2 like real X-ray texture;
     #                                    see data.pipeline.SyntheticDataset)
     cache: bool = False                # decode-once memmapped dataset cache
     cache_path: Optional[str] = None   # default: <root_dir>/.cache_<size>.npy

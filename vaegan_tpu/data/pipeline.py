@@ -87,12 +87,20 @@ class SyntheticDataset:
       smears the step edges, while the critic pushes reconstructions back onto
       the sharp-edged manifold — the regime where the reference observed
       VAE-GAN beating the plain VAE on pixel MSE (README.md:1266 vs 1319).
+    - ``"texture"``: the quantized low-frequency field plus a quantized
+      *resolution-proportional* field (base resolution ``image_size // 4``) —
+      iso-contours every few pixels at ANY output resolution, so the
+      edge-pixel fraction holds constant with image size instead of shrinking
+      ~1/L as the fixed-base ``edges`` style's does. This is the property real
+      X-rays keep at 256^2 (high-frequency trabecular/soft-tissue texture at
+      every scale) that the 256^2 ``edges`` pairing in BENCH_NOTES lacked.
     """
 
     def __init__(self, size: int = 1200, image_size: int = 96, seed: int = 0,
                  style: str = "blobs"):
-        if style not in ("blobs", "edges"):
-            raise ValueError(f"synthetic style must be 'blobs'|'edges', got {style!r}")
+        if style not in ("blobs", "edges", "texture"):
+            raise ValueError(
+                f"synthetic style must be 'blobs'|'edges'|'texture', got {style!r}")
         self.size = size
         self.image_size = image_size
         self.style = style
@@ -100,18 +108,34 @@ class SyntheticDataset:
         # smooth blobby images: low-freq random fields, minmax-normalized
         base = self._rng.normal(size=(size, 12, 12)).astype(np.float32)
         self._low = base
+        if style == "texture":
+            # fine field whose base scales with the output resolution: upsampled
+            # exactly 4x regardless of image_size, so its contour density per
+            # PIXEL (and hence the edge-pixel fraction) is resolution-invariant
+            fine = max(image_size // 4, 3)
+            self._fine = self._rng.normal(size=(size, fine, fine)).astype(np.float32)
 
     def __len__(self) -> int:
         return self.size
 
-    def __getitem__(self, idx: int) -> np.ndarray:
-        img = nifti.resize_bilinear(self._low[idx], self.image_size, self.image_size)
+    @staticmethod
+    def _quantize(img: np.ndarray, levels: int = 6) -> np.ndarray:
         lo, hi = img.min(), img.max()
         img = (img - lo) / max(hi - lo, 1e-12)
+        return np.floor(img * levels).clip(max=levels - 1) / (levels - 1)
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        img = nifti.resize_bilinear(self._low[idx], self.image_size, self.image_size)
         if self.style == "edges":
             # quantize to L levels: sharp iso-contours at deterministic positions
-            levels = 6
-            img = np.floor(img * levels).clip(max=levels - 1) / (levels - 1)
+            img = self._quantize(img)
+        elif self.style == "texture":
+            fine = nifti.resize_bilinear(self._fine[idx],
+                                         self.image_size, self.image_size)
+            img = 0.6 * self._quantize(img) + 0.4 * self._quantize(fine)
+        else:
+            lo, hi = img.min(), img.max()
+            img = (img - lo) / max(hi - lo, 1e-12)
         return img.astype(np.float32)[..., None]
 
     def load_batch(self, indices: Sequence[int]) -> np.ndarray:
