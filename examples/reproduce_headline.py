@@ -33,10 +33,13 @@ def main():
     ap.add_argument("--data-dir", default=None,
                     help="real NIfTI dir; default: the synthetic stand-in sized "
                          "like the reference's dataset (~1200 images)")
-    ap.add_argument("--data-style", default="blobs", choices=["blobs", "edges"],
+    ap.add_argument("--data-style", default="blobs",
+                    choices=["blobs", "edges", "texture"],
                     help="synthetic-data style (ignored with --data-dir): "
                          "'edges' has the sharp, learnable high-frequency "
-                         "structure where the adversarial term has MSE upside")
+                         "structure where the adversarial term has MSE upside; "
+                         "'texture' keeps that structure's edge-pixel fraction "
+                         "constant across resolutions (the 256^2 regime)")
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--image-size", type=int, default=256)
     ap.add_argument("--batch-size", type=int, default=4)
@@ -53,6 +56,11 @@ def main():
                          "running stats from N data batches (standing-stats "
                          "recalibration; repairs the train/eval gap of a long "
                          "adversarial run — inference.recalibrate_bn_stats)")
+    ap.add_argument("--save-visuals", default=None, metavar="DIR",
+                    help="write the reference's qualitative deliverables "
+                         "(orig-vs-recon panel, prior-sample grid, latent "
+                         "interpolation strips — gan_files/*.png, "
+                         "README.md:1262/1315) for the final state to DIR")
     args = ap.parse_args()
 
     cfg = preset("notebook_vae" if args.vae else "notebook")
@@ -106,6 +114,20 @@ def main():
     if recal_draws is not None:
         out["eval_mse_repeat_draws_bn_recalibrated"] = [round(m, 4)
                                                         for m in recal_draws]
+    if args.save_visuals:
+        # render from the best-evaluating iterate reported above: EMA when it
+        # wins, BN-recalibrated when requested, else the live params
+        vis_state, tag = state, "live"
+        if ema_draws is not None and min(ema_draws) < min(draws):
+            vis_state, tag = inference.with_ema(state), "ema"
+        if recal_draws is not None and min(recal_draws) < min(
+                ema_draws or draws):
+            vis_state, tag = recal, "bn_recalibrated"
+        batch = next(iter(make_loader(cfg.data, seed=1)))
+        out["visuals"] = inference.save_visual_evidence(
+            cfg, vis_state, batch, args.save_visuals,
+            key=jax.random.key(7), prefix=f"{out['run']}_{tag}_".replace(" ", ""))
+        out["visuals_iterate"] = tag
     print(json.dumps(out), flush=True)
 
 

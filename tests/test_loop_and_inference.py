@@ -3,6 +3,7 @@ APIs, checkpoint round-trip, metric sinks, sample dumps."""
 
 import io
 import os
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
@@ -252,6 +253,17 @@ class TestInference:
         # endpoints equal the direct reconstructions of x1/x2 (z = encode means)
         r1, _ = inference.reconstruct(cfg, state, x1)
         np.testing.assert_allclose(np.asarray(seq[0]), np.asarray(r1), rtol=1e-4, atol=1e-5)
+
+    def test_save_visual_evidence_writes_all_three(self, trained, tmp_path):
+        cfg, state = trained
+        batch = SyntheticDataset(8, 16).load_batch(range(8))
+        written = inference.save_visual_evidence(
+            cfg, state, batch, tmp_path, key=jax.random.key(1), prefix="x_")
+        assert set(written) == {"recon_panel", "samples", "interpolation"}
+        for name, path in written.items():
+            p = Path(path)
+            assert p.exists() and p.stat().st_size > 0, name
+            assert p.name.startswith("x_")
 
     def test_visualize_reconstructions_api(self, trained, tmp_path):
         cfg, state = trained

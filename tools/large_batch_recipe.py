@@ -61,6 +61,10 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--log-every", type=int, default=100)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--save-visuals", default=None, metavar="DIR",
+                    help="write orig-vs-recon / prior-sample / interpolation "
+                         "PNGs for the best-evaluating iterate (live vs EMA) "
+                         "to DIR (inference.save_visual_evidence)")
     args = ap.parse_args()
 
     cfg = preset("notebook")
@@ -157,6 +161,19 @@ def main():
             ema_draws.append(float(jax.device_get(
                 recon_mse(state.replace(g_params=state.g_ema), b))))
 
+    visuals = None
+    if args.save_visuals:
+        from vaegan_tpu import inference
+        vis_state, tag = state, "live"
+        if ema_draws and min(ema_draws) < min(draws):
+            vis_state, tag = state.replace(g_params=state.g_ema), "ema"
+        idx = jnp.asarray(rng.permutation(args.dataset)[: args.batch])
+        visuals = inference.save_visual_evidence(
+            cfg, vis_state, jnp.take(data, idx, 0), args.save_visuals,
+            key=jax.random.key(7),
+            prefix=f"b{args.batch}_{args.image_size}px_{tag}_")
+        visuals["iterate"] = tag
+
     scores = [abs(h["d_real"]) for h in history] + [abs(h["d_fake"]) for h in history]
     tail = history[-5:]
     print(json.dumps({
@@ -173,6 +190,7 @@ def main():
         "max_abs_critic_score": round(max(scores), 2) if scores else None,
         "tail_recon": [round(h["recon"], 4) for h in tail],
         "wall_s": round(wall, 1),
+        **({"visuals": visuals} if visuals else {}),
     }), flush=True)
 
 

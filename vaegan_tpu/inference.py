@@ -107,6 +107,62 @@ def interpolate(cfg: Config, state: TrainState, x1: jax.Array, x2: jax.Array,
     return _interpolate(cfg, state, (x1, x2), steps)
 
 
+def save_visual_evidence(cfg: Config, state: TrainState, batch, out_dir,
+                         key: Optional[jax.Array] = None,
+                         prefix: str = "") -> dict:
+    """Write the reference's qualitative deliverables as PNGs.
+
+    The reference's primary published evidence is images, not numbers: the
+    orig-vs-recon grids its eval cells render (README.md:1262, 1315 — the
+    gan_files/*.png committed to its repo). This writes the same artifacts for
+    a trained state, plus the two generation-path visuals the reference's
+    config-4 intends (README.md:1340-1346):
+
+    - ``{prefix}recon_panel.png`` — top row originals, bottom row eval-mode
+      reconstructions (one column per image);
+    - ``{prefix}samples.png`` — 5x5 grid decoded from z ~ N(0, I);
+    - ``{prefix}interpolation.png`` — latent interpolation strips between the
+      batch's first and second images (one row per interpolation step pair).
+
+    Returns {name: path} for the files written.
+    """
+    import numpy as np
+
+    from pathlib import Path
+
+    from vaegan_tpu.utils.imaging import save_image_grid
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    batch = np.asarray(jax.device_get(batch), np.float32)
+    n = min(8, batch.shape[0])
+    written = {}
+
+    recon, _ = reconstruct(cfg, state, batch[:n])
+    panel = np.concatenate([batch[:n], np.asarray(jax.device_get(recon), np.float32)])
+    p = out / f"{prefix}recon_panel.png"
+    save_image_grid(panel, str(p), nrow=n)
+    written["recon_panel"] = str(p)
+
+    if key is None:
+        key = jax.random.key(0)
+    smp = sample(cfg, state, key, n=25, image_size=batch.shape[1])
+    p = out / f"{prefix}samples.png"
+    save_image_grid(jax.device_get(smp), str(p), nrow=5)
+    written["samples"] = str(p)
+
+    if n >= 2:
+        k = min(4, n // 2)  # k strips of 8 steps each
+        strips = interpolate(cfg, state, batch[:k], batch[k:2 * k], steps=8)
+        # (steps, k, H, W, C) -> row-major strips: one row per pair
+        imgs = np.asarray(jax.device_get(strips), np.float32)
+        imgs = np.transpose(imgs, (1, 0, 2, 3, 4)).reshape((-1,) + imgs.shape[2:])
+        p = out / f"{prefix}interpolation.png"
+        save_image_grid(imgs, str(p), nrow=8)
+        written["interpolation"] = str(p)
+    return written
+
+
 def recalibrate_bn_stats(cfg: Config, state: TrainState, loader,
                          num_batches: int = 50) -> TrainState:
     """Re-estimate the generator's BatchNorm running statistics from the FINAL
