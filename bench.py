@@ -208,19 +208,35 @@ def bench_roofline(preset_name: str = "notebook") -> None:
     # BENCH_GP_EVERY > 1 attributes the lazy-regularization OFF-step (no GP
     # term, no grad-of-grad) — the variant that runs (k-1)/k of the time under
     # cfg.train.gp_every = k; the GP step itself is the default attribution.
+    # BENCH_CRITIC_ONLY=1 attributes the D-only step (do_g_update=False) — the
+    # variant that runs (n_critics-1)/n_critics of the time under
+    # cfg.train.n_critics = n (README.md:812's schedule, its own search grid).
     no_gp = int(os.environ.get("BENCH_GP_EVERY", 1)) > 1
+    do_g = os.environ.get("BENCH_CRITIC_ONLY", "0") != "1"
     step = (make_paper_train_step(cfg) if cfg.optim.scheme == "three"
-            else make_train_step(cfg, do_g_update=True, do_gp=not no_gp))
+            else make_train_step(cfg, do_g_update=do_g, do_gp=not no_gp))
     batch = jax.random.uniform(jax.random.key(1), (batch_size, image, image, 1))
     key = jax.random.key(2, impl=cfg.train.rng_impl)
-    lowered = jax.jit(step, donate_argnums=0).lower(state, batch, key)
-    compiled = lowered.compile()
-    ca = compiled.cost_analysis()
-    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-    flops = float(ca.get("flops", 0.0))
-    bytes_ = float(ca.get("bytes accessed", 0.0))
-
-    jstep = compiled  # reuse the lowered executable — do NOT compile twice
+    # time via the regular jit dispatch path; cost analysis comes from an AOT
+    # lower().compile() AFTER timing (identical HLO -> persistent-cache hit).
+    # Two axon-backend quirks mandate this order + the donated prime below
+    # (both isolated 2026-08-19): (1) executing the AOT `compiled` object
+    # directly trips InvalidArgument when the step passes donated buffers
+    # through unchanged (do_g_update=False leaves the G half untouched);
+    # (2) a do_g_update=False program fails or WEDGES THE DEVICE (several-
+    # minute recovery) unless a full (T,T) step at the SAME shapes ran first
+    # in this process via the same donated-jit dispatch path — an undonated
+    # prime or a 32^2 prime does not cover it, and an interposed AOT compile
+    # breaks the cover. train()'s schedule always runs (T,T) first, so real
+    # training never sees this; it is purely a bench-the-variant-alone issue.
+    jstep = jax.jit(step, donate_argnums=0)
+    if not do_g:
+        # prime with the full (T,T, GP) step — the variant every known-good
+        # sequence (train(), the n_critics bench) executes first
+        state, metrics = jax.jit(
+            make_train_step(cfg, do_g_update=True, do_gp=True),
+            donate_argnums=0)(state, batch, key)
+        float(jax.device_get(metrics["d_loss"]))
     for i in range(3):
         state, metrics = jstep(state, batch, jax.random.fold_in(key, i))
     float(jax.device_get(metrics["d_loss"]))
@@ -231,9 +247,18 @@ def bench_roofline(preset_name: str = "notebook") -> None:
     float(jax.device_get(metrics["d_loss"]))
     step_s = (time.perf_counter() - t0) / n_steps
 
+    lowered = jax.jit(step, donate_argnums=0).lower(state, batch, key)
+    compiled = lowered.compile()
+    ca = compiled.cost_analysis()
+    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+    flops = float(ca.get("flops", 0.0))
+    bytes_ = float(ca.get("bytes accessed", 0.0))
+
     implied_gbs = bytes_ / step_s / 1e9
     label = {"notebook": "VAE-GAN", "vaegan_paper": "Larsen-paper",
              "notebook_vae": "plain-VAE"}.get(preset_name, preset_name)
+    if not do_g:
+        label += " critic-only"
     if no_gp:
         label += " no-GP off-step"
     print(json.dumps({
@@ -325,34 +350,52 @@ def main(preset_name: str = "notebook") -> None:
     # to amortize anyway.
     gp_every = int(os.environ.get("BENCH_GP_EVERY",
                                   8 if preset_name == "notebook" else 1))
+    # BENCH_N_CRITICS=n measures the reference's n_critics schedule
+    # (README.md:812 — G updated every n-th batch, D every batch; n is in the
+    # reference's own search grid, README.md:1041): the amortized rate over
+    # whole cycles mixing the (do_g_update, do_gp) jit variants exactly as
+    # train() schedules them.
+    n_critics = int(os.environ.get("BENCH_N_CRITICS", 1))
+
+    import math
 
     from vaegan_tpu.config import preset
     from vaegan_tpu.train import (
         create_train_state, make_paper_train_step, make_train_step)
+    from vaegan_tpu.train.step import lazy_gp_enabled, make_step_variants
 
     cfg = preset(preset_name)
     cfg = cfg.replace(
         data=cfg.data.replace(image_size=image, batch_size=batch_size),
         train=cfg.train.replace(
-            dtype=dtype, gp_every=gp_every,
+            dtype=dtype, gp_every=gp_every, n_critics=n_critics,
             critic_batching=os.environ.get("BENCH_CRITIC_BATCHING", "separate"),
         ),
     )
 
     state = create_train_state(cfg, jax.random.key(0))
-    step_fn = (make_paper_train_step(cfg) if cfg.optim.scheme == "three"
-               else make_train_step(cfg, do_g_update=True,
-                                    gp_lambda_scale=float(gp_every)))
-    step = jax.jit(step_fn, donate_argnums=0)
-    step_nogp = None
-    if gp_every > 1 and cfg.optim.scheme != "three":
-        # lazy GP: alternate the two compiled variants at the loop's cadence and
-        # report the AMORTIZED rate (1 GP step per gp_every)
-        step_nogp = jax.jit(make_train_step(cfg, do_g_update=True, do_gp=False),
-                            donate_argnums=0)
+    if cfg.optim.scheme == "three":
+        fn = jax.jit(make_paper_train_step(cfg), donate_argnums=0)
+        variants = {(True, True): fn}
+        lazy = False
 
-    def pick(i):
-        return step if (step_nogp is None or i % gp_every == 0) else step_nogp
+        def pick(i):
+            return fn
+    else:
+        # the exact variant dict train() schedules (λ·gp_every scaling on GP
+        # steps included); jit compiles lazily so unused variants cost nothing
+        variants = make_step_variants(cfg, lambda do_g, do_gp, scale: jax.jit(
+            make_train_step(cfg, do_g_update=do_g, do_gp=do_gp,
+                            gp_lambda_scale=scale),
+            donate_argnums=0))
+        lazy = lazy_gp_enabled(cfg)
+
+        def pick(i):  # mirrors train.loop: do_g per-batch, do_gp per-step
+            do_g = (i % n_critics) == 0
+            do_gp = (not lazy) or (i % gp_every == 0)
+            return variants[(do_g, do_gp)]
+
+    cycle = math.lcm(n_critics, gp_every if lazy else 1)
     batch = jax.random.uniform(jax.random.key(1), (batch_size, image, image, 1), jnp.float32)
     # the shipped training loop's key stream (TrainConfig.rng_impl, default rbg —
     # the hardware-friendly counter RNG; threefry costs ~15% of the generator
@@ -361,12 +404,12 @@ def main(preset_name: str = "notebook") -> None:
 
     # compile + warmup. NOTE: sync via device_get of a value — on the tunneled
     # axon backend block_until_ready returns before execution completes.
-    for i in range(3 if step_nogp is None else 2 * gp_every):
+    for i in range(3 if cycle == 1 else 2 * cycle):
         state, metrics = pick(i)(state, batch, jax.random.fold_in(key, i))
     float(jax.device_get(metrics["d_loss"]))
 
-    if step_nogp is not None:  # time whole gp_every-sized cycles
-        n_steps = max(gp_every, n_steps - n_steps % gp_every)
+    if cycle > 1:  # time whole schedule cycles
+        n_steps = max(cycle, n_steps - n_steps % cycle)
     t0 = time.perf_counter()
     for i in range(n_steps):
         state, metrics = pick(i)(state, batch, jax.random.fold_in(key, 100 + i))
@@ -376,10 +419,12 @@ def main(preset_name: str = "notebook") -> None:
     imgs_per_sec = batch_size * n_steps / dt
     label = {"notebook": "VAE-GAN", "vaegan_paper": "Larsen-paper",
              "notebook_vae": "plain-VAE"}.get(preset_name, preset_name)
-    lazy = "" if step_nogp is None else f", lazy GP 1/{gp_every}"
+    sched = "" if not lazy else f", lazy GP 1/{gp_every}"
+    if n_critics > 1:
+        sched += f", G every {n_critics} (n_critics)"
     print(json.dumps({
         "metric": f"{image}x{image} {label} train-step images/sec/chip "
-                  f"(batch {batch_size}, {dtype}{lazy})",
+                  f"(batch {batch_size}, {dtype}{sched})",
         "value": round(imgs_per_sec, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(round(imgs_per_sec, 1) / 5000.0, 3),
