@@ -370,6 +370,9 @@ def main(preset_name: str = "notebook") -> None:
         train=cfg.train.replace(
             dtype=dtype, gp_every=gp_every, n_critics=n_critics,
             critic_batching=os.environ.get("BENCH_CRITIC_BATCHING", "separate"),
+            # BENCH_PALLAS=off|losses|all A/Bs the Pallas kernels in the real
+            # step (default: the preset's setting, normally "losses")
+            use_pallas=os.environ.get("BENCH_PALLAS", cfg.train.use_pallas),
         ),
     )
 

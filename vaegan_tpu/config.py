@@ -208,7 +208,12 @@ class TrainConfig(_Replaceable):
     rng_impl: str = "rbg"
     # fused Pallas kernels: "off" | "losses" (reparam+KL, recon sums) | "all"
     # (also fuse the res-block BN+act+dropout chains). bool accepted: True="all".
-    use_pallas: Any = "losses"
+    # Default "off" by round-4 paired measurement (BENCH_NOTES.md): the custom-
+    # call boundary blocks XLA's own fusion of the loss section, costing 1.1-
+    # 1.2% on the WGAN steps and 14% on the three-opt paper step, while the
+    # byte audit shows plain-jnp already schedules the loss math at the fused
+    # ideal (tools/paper_loss_fusion_evidence.py: 1.05x conservative bound).
+    use_pallas: Any = "off"
     remat: bool = False                # jax.checkpoint the generator blocks
     init_scheme: str = "reference"     # faithful init quirks (README.md:700-707) | "clean"
     nan_check: bool = False            # per-flush finite-metrics check (forces a host

@@ -21,6 +21,16 @@ the surrounding graph, so a hand kernel would buy nothing. All ops
 fall back to plain jnp (identical math, jax.random streams instead of the TPU PRNG)
 when the platform is not TPU or shapes don't tile; ``FORCE_FALLBACK`` pins the
 fallback for tests.
+
+Status (round 4): ALL of these are opt-in (``use_pallas`` defaults to "off").
+Paired on-chip A/Bs of the composed train steps showed the pallas_call
+boundary costs more fusion than the kernels save — the same verdict at every
+altitude (block chain −12% r3; loss kernels −1.1%/−14% on the WGAN/paper
+steps r4), and the byte audits (tools/conv_fusion_evidence.py,
+tools/paper_loss_fusion_evidence.py) show XLA already schedules both the
+res-block chains and the loss section at the fused ideal's HBM bytes. The
+kernels remain correct, kernel-vs-fallback tested, and available for shapes/
+regimes where XLA's schedule is not at the ideal.
 """
 
 from __future__ import annotations
