@@ -56,6 +56,14 @@ def main():
                          "running stats from N data batches (standing-stats "
                          "recalibration; repairs the train/eval gap of a long "
                          "adversarial run — inference.recalibrate_bn_stats)")
+    ap.add_argument("--use-pallas", default=None, choices=["off", "losses", "all"],
+                    help="override TrainConfig.use_pallas (the r3 records ran "
+                         "with the then-default 'losses' stream; r4's default "
+                         "is 'off' — at batch 4 the adversarial game is "
+                         "trajectory-chaotic, so the stream choice moves the "
+                         "endpoint within the documented run-to-run spread)")
+    ap.add_argument("--seed", type=int, default=None,
+                    help="override TrainConfig.seed")
     ap.add_argument("--save-visuals", default=None, metavar="DIR",
                     help="write the reference's qualitative deliverables "
                          "(orig-vs-recon panel, prior-sample grid, latent "
@@ -72,7 +80,9 @@ def main():
         train=cfg.train.replace(
             n_epochs=args.epochs, dtype=args.dtype, sample_interval=100,
             sample_dir=f"{args.out}/samples", log_every=50,
-            ema_decay=args.ema_decay),
+            ema_decay=args.ema_decay,
+            **({"use_pallas": args.use_pallas} if args.use_pallas else {}),
+            **({"seed": args.seed} if args.seed is not None else {})),
     )
     Path(args.out).mkdir(parents=True, exist_ok=True)
 
@@ -82,6 +92,7 @@ def main():
 
     # cell-23 protocol: fresh shuffled one-batch MSE per draw
     loader = make_loader(cfg.data, seed=1)
+    floor = inference.mean_predictor_floor(next(iter(loader)))
     draws = [inference.evaluate_mse(cfg, state, iter(loader))
              for _ in range(args.draws)]
     ema_draws = None
@@ -107,6 +118,10 @@ def main():
         "train_wall_s": round(wall, 1),
         "final_train_metrics": {k: round(float(v), 4) for k, v in tail.items()},
         "eval_mse_repeat_draws": [round(m, 4) for m in draws],
+        # the strongest trivial baseline on THIS data (per-image variance):
+        # an eval MSE is only meaningful relative to it — band positions are
+        # dataset-variance-dependent (inference.mean_predictor_floor)
+        "eval_mse_mean_predictor_floor": round(floor, 4),
         "reference_band": "0.0790-0.0983" if args.vae else "0.0518-0.0573",
     }
     if ema_draws is not None:

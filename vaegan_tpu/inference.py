@@ -15,6 +15,7 @@ stats, dropout off, deterministic z = mu (README.md:1217-1218).
 from __future__ import annotations
 
 import functools
+import itertools
 from typing import Optional, Tuple
 
 import jax
@@ -241,13 +242,24 @@ def recalibrate_bn_stats(cfg: Config, state: TrainState, loader,
     return state.replace(g_stats=acc)
 
 
+def mean_predictor_floor(batch) -> float:
+    """MSE of the strongest trivial baseline on a batch: predicting each
+    image's own mean (available to any autoencoder). Equals the mean per-image
+    variance. Eval-MSE numbers are only meaningful relative to this floor —
+    it is set by the DATASET's variance, not by model quality, so 'inside the
+    reference's published band' (README.md:1266/1319) can be above or below
+    the floor depending on the data the band is measured on."""
+    b = jnp.asarray(batch, jnp.float32)
+    return float(jnp.mean(jnp.var(b, axis=tuple(range(1, b.ndim)))))
+
+
 def evaluate_mse(cfg: Config, state: TrainState, loader, num_batches: int = 1) -> float:
     """Reference eval protocol: MSE over ``num_batches`` loader batches
     (README.md:1219-1235 uses exactly one)."""
     total, n = 0.0, 0
-    for i, batch in enumerate(loader):
-        if i >= num_batches:
-            break
+    # islice, not enumerate+break: the latter pulls (and discards) one batch
+    # past the budget, silently losing it from a caller's one-shot iterator
+    for batch in itertools.islice(iter(loader), num_batches):
         _, mse = reconstruct(cfg, state, jnp.asarray(batch))
         total += float(mse)
         n += 1
