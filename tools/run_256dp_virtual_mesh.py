@@ -1,0 +1,117 @@
+"""Run BASELINE config 5 (`vaegan_256_dp`) AS SHIPPED on a virtual 8-device mesh.
+
+Real multi-chip hardware is unavailable in this environment, and the preset's
+quality evidence (BENCH_NOTES: EMA iterate inside the reference's published MSE
+band) used `grad_accum=4` on one chip as the stand-in for 4-chip DP. This script
+closes the remaining gap: the preset's ACTUAL code path — `make_mesh` →
+`shard_state` → sharded loader feed → `make_parallel_train_step` variants →
+EMA tracking under DP → orbax checkpoint + resume under DP → EMA-iterate eval —
+executes end-to-end at the preset's own operating point (256², global batch 64
+sharded 8-way, bfloat16, ema_decay=0.999), on an
+`--xla_force_host_platform_device_count=8` CPU mesh, tiny step budget.
+
+    python tools/run_256dp_virtual_mesh.py [--devices 8] [--steps 2]
+
+Prints one JSON line; the recorded run lives in result/virtualmesh_256dp.json.
+"""
+
+import argparse
+import json
+import os
+import tempfile
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--devices", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=2,
+                    help="phase-A step budget (phase B resumes for one more)")
+    args = ap.parse_args()
+
+    # must land before the first backend touch (same pattern as __graft_entry__).
+    # The collective-call timeouts matter on a 1-core host: 8 device threads
+    # timeshare one core, so a 256^2 batch-64 shard's compute can exceed the
+    # default 40 s rendezvous termination window between the first and last
+    # thread reaching an all-reduce — XLA then CHECK-fails the process
+    # (rendezvous.cc "Termination timeout ... exceeded"). These are wall-clock
+    # guards, not correctness knobs; hours-long windows just disarm them.
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={args.devices}"
+        + " --xla_cpu_collective_call_warn_stuck_seconds=600"
+        + " --xla_cpu_collective_call_terminate_timeout_seconds=7200").strip()
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    assert len(jax.devices()) >= args.devices and jax.devices()[0].platform == "cpu", \
+        f"could not provision {args.devices} cpu devices (backend already pinned?)"
+
+    from vaegan_tpu import inference
+    from vaegan_tpu.config import preset
+    from vaegan_tpu.data.pipeline import make_loader
+    from vaegan_tpu.parallel import make_mesh
+    from vaegan_tpu.parallel.train import train_data_parallel
+
+    with tempfile.TemporaryDirectory(prefix="vm256dp_") as tmp:
+        cfg = preset("vaegan_256_dp")
+        cfg = cfg.replace(
+            # the preset's operating point is kept: 256^2, global batch 64,
+            # bfloat16, ema_decay=0.999. Only the budget and the data source
+            # are test-sized (2 synthetic batches per epoch).
+            data=cfg.data.replace(synthetic=True, synthetic_size=128,
+                                  drop_last=True),
+            parallel=cfg.parallel.replace(num_data=args.devices),
+            train=cfg.train.replace(
+                max_steps=args.steps, n_epochs=10, log_every=1,
+                sample_interval=0, checkpoint_every=1,
+                checkpoint_dir=os.path.join(tmp, "ckpt"),
+                sample_dir=os.path.join(tmp, "samples")),
+        )
+
+        t0 = time.time()
+        state, logger = train_data_parallel(cfg)
+        phase_a_wall = time.time() - t0
+        metrics = [m for m in logger.history if "_wall_s" not in m]
+        assert len(metrics) == args.steps, (len(metrics), args.steps)
+        assert all(v == v and abs(v) != float("inf")
+                   for m in metrics for v in m.values()), "non-finite metrics"
+        assert state.g_ema is not None, "preset ships ema_decay=0.999"
+        assert int(jax.device_get(state.step)) == args.steps
+
+        # phase B: resume from the DP checkpoint for one more step — restore,
+        # fast-forward, and continued EMA tracking all under the sharded state
+        cfg_b = cfg.replace(train=cfg.train.replace(max_steps=args.steps + 1))
+        t0 = time.time()
+        state_b, logger_b = train_data_parallel(cfg_b, resume=True)
+        phase_b_wall = time.time() - t0
+        assert int(jax.device_get(state_b.step)) == args.steps + 1
+        assert state_b.g_ema is not None
+
+        # the preset's eval contract: the EMA iterate through the reference's
+        # one-batch MSE protocol, on the same sharded state
+        mesh = make_mesh(num_data=args.devices)
+        from vaegan_tpu.parallel import batch_sharding
+        loader = make_loader(cfg.data, seed=1,
+                             sharding=batch_sharding(mesh))
+        mse_live = inference.evaluate_mse(cfg, state_b, iter(loader))
+        mse_ema = inference.evaluate_mse(cfg, inference.with_ema(state_b),
+                                         iter(loader))
+
+        out = {
+            "run": "vaegan_256_dp as shipped on a virtual CPU mesh",
+            "mesh": f"data={args.devices}",
+            "operating_point": "256^2 global batch 64 (8-way sharded), "
+                               f"{cfg.train.dtype}, ema_decay={cfg.train.ema_decay}",
+            "phase_a_steps": args.steps,
+            "phase_a_wall_s": round(phase_a_wall, 1),
+            "phase_b_resumed_to_step": int(jax.device_get(state_b.step)),
+            "phase_b_wall_s": round(phase_b_wall, 1),
+            "final_metrics": {k: round(float(v), 4) for k, v in metrics[-1].items()},
+            "eval_mse_live": round(mse_live, 4),
+            "eval_mse_ema": round(mse_ema, 4),
+        }
+        print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
