@@ -121,6 +121,21 @@ def main():
                             str(out / f"samples_{sno:06d}.png"), nrow=5)
     wall = time.time() - t0
 
+    # the endpoint's eval-mode deliverables: a deterministic (no reparam
+    # noise, running-stats BN) recon panel against the held originals — run
+    # with --steps at the curve's minimum to render the best iterate
+    @jax.jit
+    def recon_eval(g_params, g_stats, batch):
+        out_ = gen.apply({"params": g_params, "batch_stats": g_stats},
+                         batch, train=False)
+        return (out_[0] if cfg.generator.is_vae else out_)[:12]
+    recons = jax.device_get(recon_eval(state.g_params, state.g_stats, held))
+    orig = jax.device_get(held[:12])
+    panel = np.stack([np.asarray(orig, np.float32),
+                      np.asarray(recons, np.float32)], 1).reshape(
+                          -1, *orig.shape[1:])
+    save_image_grid(panel, str(out / "final_recon_panel.png"), nrow=6)
+
     (out / "curve.jsonl").write_text(
         "\n".join(json.dumps(r) for r in curve) + "\n")
     # log-log fit over the measured tail (skip the first 10%: compile-time

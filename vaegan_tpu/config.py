@@ -338,8 +338,12 @@ def preset(name: str) -> Config:
     - ``gan_only``      — BASELINE config 2: discriminator-only DCGAN-style BCE training.
       Note: with no reconstruction anchor the BCE game is D-dominant at short
       budgets (D loss -> 0 while G keeps learning under the non-saturating
-      loss) — measured across critic sizes and TTUR in BENCH_NOTES.md; the
-      anchored configs (1, 3, 5) are the quality-verified ones.
+      loss). At a DCGAN-class budget the game DOES reach the anchored
+      configs' quality band (held-batch recon proxy below the mean-predictor
+      floor by step ~2.5k at 96^2 b64) but does not HOLD it — the equilibrium
+      oscillates and degrades after ~10k steps (tools/gan_only_budget.py,
+      BENCH_NOTES.md round 4); the anchored configs (1, 3, 5) buy stability,
+      and remain the quality-verified ones.
     - ``vaegan_paper``  — BASELINE config 3: Dis_l feature matching + BCE + three optimizers.
     - ``vaegan_infer``  — BASELINE config 4: inference/generation-path config.
     - ``vaegan_256_dp`` — BASELINE config 5: 256x256, large batch, data parallel.
