@@ -27,6 +27,29 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import pytest  # noqa: E402
 
 
+def _ensure_native_decoder() -> None:
+    """Build csrc/libnifti_tpu.so if absent so the native-decoder parity and
+    property tests run instead of skipping on a fresh checkout. Best-effort:
+    no toolchain (or a failed build) degrades back to the skip path."""
+    import shutil
+    import subprocess
+    from pathlib import Path
+
+    csrc = Path(__file__).resolve().parents[1] / "csrc"
+    if (csrc / "libnifti_tpu.so").exists() or not (csrc / "Makefile").exists():
+        return
+    if shutil.which("make") is None:
+        return
+    try:
+        subprocess.run(["make", "-C", str(csrc)], check=False,
+                       capture_output=True, timeout=120)
+    except (OSError, subprocess.TimeoutExpired):
+        pass
+
+
+_ensure_native_decoder()
+
+
 @pytest.fixture(scope="session")
 def rng():
     return jax.random.key(0)
