@@ -27,20 +27,25 @@ def main():
     ap.add_argument("--devices", type=int, default=8)
     ap.add_argument("--steps", type=int, default=2,
                     help="phase-A step budget (phase B resumes for one more)")
+    ap.add_argument("--remat", action="store_true", default=True,
+                    help="train.remat=True (the shipped activation-memory "
+                         "lever). Needed here, not on the TPU: 8 CPU device "
+                         "threads hold 8 concurrent GP-step activation sets "
+                         "in ONE host's RAM, and without remat the 256^2 "
+                         "batch-64 step peaks past this host's 125 GB "
+                         "(observed OOM-kill at 107+ GB).")
+    ap.add_argument("--no-remat", dest="remat", action="store_false")
     args = ap.parse_args()
 
     # must land before the first backend touch (same pattern as __graft_entry__).
-    # The collective-call timeouts matter on a 1-core host: 8 device threads
-    # timeshare one core, so a 256^2 batch-64 shard's compute can exceed the
-    # default 40 s rendezvous termination window between the first and last
-    # thread reaching an all-reduce — XLA then CHECK-fails the process
-    # (rendezvous.cc "Termination timeout ... exceeded"). These are wall-clock
-    # guards, not correctness knobs; hours-long windows just disarm them.
+    # NOTE: jaxlib 0.9.0's XLA_FLAGS parser does not know the cpu collective
+    # rendezvous-timeout flags (--xla_cpu_collective_call_*_seconds fatal as
+    # "Unknown flag"), so the 8 device threads run with the default windows;
+    # measured on this 1-core host the 256^2 batch-64 step rendezvous stays
+    # inside them (see result/virtualmesh_256dp.json wall times).
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
-        + f" --xla_force_host_platform_device_count={args.devices}"
-        + " --xla_cpu_collective_call_warn_stuck_seconds=600"
-        + " --xla_cpu_collective_call_terminate_timeout_seconds=7200").strip()
+        + f" --xla_force_host_platform_device_count={args.devices}").strip()
     import jax
     jax.config.update("jax_platforms", "cpu")
     assert len(jax.devices()) >= args.devices and jax.devices()[0].platform == "cpu", \
@@ -63,6 +68,7 @@ def main():
             parallel=cfg.parallel.replace(num_data=args.devices),
             train=cfg.train.replace(
                 max_steps=args.steps, n_epochs=10, log_every=1,
+                remat=args.remat,
                 sample_interval=0, checkpoint_every=1,
                 checkpoint_dir=os.path.join(tmp, "ckpt"),
                 sample_dir=os.path.join(tmp, "samples")),
@@ -101,7 +107,8 @@ def main():
             "run": "vaegan_256_dp as shipped on a virtual CPU mesh",
             "mesh": f"data={args.devices}",
             "operating_point": "256^2 global batch 64 (8-way sharded), "
-                               f"{cfg.train.dtype}, ema_decay={cfg.train.ema_decay}",
+                               f"{cfg.train.dtype}, ema_decay={cfg.train.ema_decay}, "
+                               f"remat={cfg.train.remat}",
             "phase_a_steps": args.steps,
             "phase_a_wall_s": round(phase_a_wall, 1),
             "phase_b_resumed_to_step": int(jax.device_get(state_b.step)),
