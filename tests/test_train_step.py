@@ -557,3 +557,49 @@ class TestLazyGP:
         cfg = tiny_config()
         with pytest.raises(ValueError, match="gp_every"):
             cfg.replace(train=cfg.train.replace(gp_every=0))
+
+
+class TestRemat:
+    """``train.remat`` (jax.checkpoint over the residual blocks) is a pure
+    memory/time trade — it must not change the math beyond float
+    reassociation (recomputed regions re-fuse, so reductions can associate
+    differently; measured ulp-level drift ~1e-7 relative). This is the knob
+    the 256² DP validation leans on (tools/run_256dp_virtual_mesh.py:
+    without it 8 concurrent GP-step activation sets exceed host RAM), so
+    its equivalence is load-bearing evidence, not a nicety."""
+
+    def _run_one(self, remat: bool, make=make_train_step, **loss_kw):
+        cfg = tiny_config(**loss_kw)
+        if make is make_paper_train_step:
+            cfg = cfg.replace(optim=cfg.optim.replace(scheme="three"))
+        cfg = cfg.replace(train=cfg.train.replace(remat=remat))
+        state = create_train_state(cfg, jax.random.key(0))
+        kw = {} if make is make_paper_train_step else {"do_g_update": True}
+        step = jax.jit(make(cfg, **kw))
+        new_state, metrics = step(
+            state, batch_of(cfg, jax.random.key(1)), jax.random.key(2))
+        return new_state, metrics
+
+    def _assert_identical(self, a, b):
+        (sa, ma), (sb, mb) = a, b
+        for k in ma:
+            np.testing.assert_allclose(float(ma[k]), float(mb[k]),
+                                       rtol=1e-5, atol=1e-7, err_msg=k)
+        for name, ta, tb in (("g_params", sa.g_params, sb.g_params),
+                             ("d_params", sa.d_params, sb.d_params),
+                             ("g_stats", sa.g_stats, sb.g_stats)):
+            for la, lb in zip(jax.tree.leaves(ta), jax.tree.leaves(tb)):
+                np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                           rtol=1e-4, atol=1e-6, err_msg=name)
+
+    def test_wgan_gp_step_equivalent_under_remat(self):
+        # the hard case: grad-of-grad (GP) through rematted critic blocks,
+        # dropout RNG replayed inside the checkpointed regions
+        self._assert_identical(self._run_one(False), self._run_one(True))
+
+    def test_paper_step_equivalent_under_remat(self):
+        kw = dict(adversarial="bce", reconstruction="dis_l",
+                  lambda_gp=0.0, clip_value=None, kl_reduction="mean")
+        self._assert_identical(
+            self._run_one(False, make=make_paper_train_step, **kw),
+            self._run_one(True, make=make_paper_train_step, **kw))
