@@ -30,6 +30,25 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--vae", action="store_true",
                     help="the plain-VAE ablation (adv weight 0, dummy critic)")
+    ap.add_argument("--preset", default=None,
+                    choices=["notebook", "notebook_vae", "vaegan_paper"],
+                    help="config preset; default notebook (or notebook_vae "
+                         "with --vae). 'vaegan_paper' = BASELINE config 3: "
+                         "Dis_l feature-matching + BCE + three optimizers "
+                         "(Larsen et al. Algorithm 1)")
+    ap.add_argument("--feature-tap", default=None,
+                    choices=["res_out", "pool", "fc1"],
+                    help="Dis_l tap override (paper preset only)")
+    ap.add_argument("--gamma", type=float, default=None,
+                    help="decoder feature-matching weight override (Larsen "
+                         "alg. 1; paper preset only)")
+    ap.add_argument("--n-critics", type=int, default=None,
+                    help="override TrainConfig.n_critics (G every n-th batch; "
+                         "the reference's experiment() default is 5, its "
+                         "published runs pass 1)")
+    ap.add_argument("--gp-every", type=int, default=None,
+                    help="override TrainConfig.gp_every (lazy-GP schedule; "
+                         "1 = reference-faithful every-step GP)")
     ap.add_argument("--data-dir", default=None,
                     help="real NIfTI dir; default: the synthetic stand-in sized "
                          "like the reference's dataset (~1200 images)")
@@ -41,6 +60,8 @@ def main():
                          "'texture' keeps that structure's edge-pixel fraction "
                          "constant across resolutions (the 256^2 regime)")
     ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--max-steps", type=int, default=None,
+                    help="cap total train steps (smoke/verify drives)")
     ap.add_argument("--image-size", type=int, default=256)
     ap.add_argument("--batch-size", type=int, default=4)
     ap.add_argument("--draws", type=int, default=3,
@@ -71,7 +92,15 @@ def main():
                          "README.md:1262/1315) for the final state to DIR")
     args = ap.parse_args()
 
-    cfg = preset("notebook_vae" if args.vae else "notebook")
+    preset_name = args.preset or ("notebook_vae" if args.vae else "notebook")
+    if args.vae and args.preset not in (None, "notebook_vae"):
+        raise SystemExit("--vae conflicts with --preset " + args.preset)
+    cfg = preset(preset_name)
+    if args.feature_tap is not None:
+        cfg = cfg.replace(discriminator=cfg.discriminator.replace(
+            feature_tap=args.feature_tap))
+    if args.gamma is not None:
+        cfg = cfg.replace(optim=cfg.optim.replace(gamma=args.gamma))
     cfg = cfg.replace(
         data=cfg.data.replace(
             image_size=args.image_size, batch_size=args.batch_size,
@@ -82,7 +111,10 @@ def main():
             sample_dir=f"{args.out}/samples", log_every=50,
             ema_decay=args.ema_decay,
             **({"use_pallas": args.use_pallas} if args.use_pallas else {}),
-            **({"seed": args.seed} if args.seed is not None else {})),
+            **({"seed": args.seed} if args.seed is not None else {}),
+            **({"n_critics": args.n_critics} if args.n_critics is not None else {}),
+            **({"gp_every": args.gp_every} if args.gp_every is not None else {}),
+            **({"max_steps": args.max_steps} if args.max_steps is not None else {})),
     )
     Path(args.out).mkdir(parents=True, exist_ok=True)
 
@@ -109,8 +141,11 @@ def main():
                        for _ in range(args.draws)]
 
     tail = [m for m in logger.history if "_wall_s" not in m][-1]
+    run_name = {"notebook": "VAE-GAN", "notebook_vae": "plain-VAE",
+                "vaegan_paper": "VAE-GAN-paper"}[preset_name]
     out = {
-        "run": "plain-VAE" if args.vae else "VAE-GAN",
+        "run": run_name,
+        "preset": preset_name,
         "operating_point": f"{args.image_size}^2 batch {args.batch_size} "
                            f"x {args.epochs} epochs ({args.dtype})",
         "data": args.data_dir or f"synthetic:{args.data_style}",
@@ -122,8 +157,20 @@ def main():
         # an eval MSE is only meaningful relative to it — band positions are
         # dataset-variance-dependent (inference.mean_predictor_floor)
         "eval_mse_mean_predictor_floor": round(floor, 4),
-        "reference_band": "0.0790-0.0983" if args.vae else "0.0518-0.0573",
+        "reference_band": (
+            "0.0790-0.0983" if args.vae else
+            # config 3 has no reference run (the notebook never implements the
+            # paper step, SURVEY.md §0); the pixel-loss VAE-GAN band is the
+            # comparison anchor per VERDICT r4 item 1
+            "n/a (comparison anchor: VAE-GAN 0.0518-0.0573)"
+            if preset_name == "vaegan_paper" else "0.0518-0.0573"),
     }
+    if preset_name == "vaegan_paper":
+        out["feature_tap"] = cfg.discriminator.feature_tap
+        out["gamma"] = cfg.optim.gamma
+    if args.n_critics is not None or args.gp_every is not None:
+        out["schedule"] = {"n_critics": cfg.train.n_critics,
+                           "gp_every": cfg.train.gp_every}
     if ema_draws is not None:
         out["eval_mse_repeat_draws_ema"] = [round(m, 4) for m in ema_draws]
     if recal_draws is not None:

@@ -26,6 +26,7 @@ the repo); random draws are captured by proxying ``torch.randn_like`` and
 
 import ast
 import json
+import os
 from pathlib import Path
 
 import numpy as np
@@ -437,25 +438,31 @@ class TestReferenceRoundTrip:
             assert float(p.abs().max()) <= 0.01 + 1e-6, name
 
 
-def _parity_cfg(p=0.0):
-    """The smallest config the reference's own classes can run (their critic
-    hardcodes 256x256): depth-1 generator, two 1-block critic stages."""
+def _parity_cfg(p=0.0, gen=None, disc=None):
+    """The config the reference's own classes can run (their critic hardcodes
+    256x256). Default: the smallest such architecture — depth-1 generator, two
+    1-block critic stages. ``gen``/``disc`` kwargs override the architecture
+    (the full-arch opt-in harness passes the published one)."""
+    gen = gen or dict(depth=1, length=1, feature_size=4)
+    disc = disc or dict(
+        num_stride_conv1=2, num_features_conv1=4, num_blocks=(1, 1),
+        num_strides_res=(2, 2), num_features_res=(8, 8))
     return Config(
-        generator=GeneratorConfig(depth=1, length=1, feature_size=4, dropout_prob=p),
+        generator=GeneratorConfig(dropout_prob=p, **gen),
         discriminator=DiscriminatorConfig(
-            num_stride_conv1=2, num_features_conv1=4, num_blocks=(1, 1),
-            num_strides_res=(2, 2), num_features_res=(8, 8), dropout_prob=p,
-            pool_size=4, linear_widths=(1024, 512, 256)),
+            dropout_prob=p, pool_size=4, linear_widths=(1024, 512, 256),
+            **{k: tuple(v) if isinstance(v, list) else v
+               for k, v in disc.items()}),
         data=DataConfig(image_size=256, batch_size=2),
         train=TrainConfig(use_pallas="off", critic_batching="separate"),
     )
 
 
-def _parity_state(cfg, gen_sd, disc_sd):
+def _parity_state(cfg, gen_sd, disc_sd, pool_shape=(8, 8, 8)):
     """A TrainState seeded from the reference modules' initial state_dicts."""
     gv = jax.tree.map(jnp.asarray, interop.reference_generator_to_variables(gen_sd))
     dv = jax.tree.map(jnp.asarray, interop.reference_discriminator_to_variables(
-        disc_sd, pool_shape=(8, 8, 8)))
+        disc_sd, pool_shape=pool_shape))
     tx = build_optimizer(cfg.optim)
     zero = jnp.zeros((), jnp.float32)
     return TrainState(
@@ -505,14 +512,19 @@ class TestReferenceOneTrainStep:
     generator output) that no isolated-module parity test can."""
 
     LR, W_ADV, W_REC, W_KL, LAMBDA_GP, CLIP = 3e-4, 1.0, 10.0, 0.1, 10.0, 0.01
+    # architecture under test; the opt-in full-arch subclass overrides these
+    # with the published one (reference README.md:938-961)
+    GEN = dict(depth=1, length=1, feature_size=4)
+    DISC = dict(num_stride_conv1=2, num_features_conv1=4, num_blocks=[1, 1],
+                num_strides_res=[2, 2], num_features_res=[8, 8])
+    POOL_SHAPE = (8, 8, 8)  # critic post-avg-pool (C, H, W) at 256^2 input
+    METRIC_TOL = 2e-4
 
     def _torch_side(self, ns, rec, imgs, tmp_path, dropout_active=False):
         torch.manual_seed(11)
         np.random.seed(13)
-        gen = _build_ref_generator(ns, depth=1, length=1, feature_size=4)
-        disc = _build_ref_discriminator(
-            ns, num_stride_conv1=2, num_features_conv1=4, num_blocks=[1, 1],
-            num_strides_res=[2, 2], num_features_res=[8, 8])
+        gen = _build_ref_generator(ns, **self.GEN)
+        disc = _build_ref_discriminator(ns, **self.DISC)
         drop_log = []
         if dropout_active:
             self.n_gen_sites = _record_dropout(gen, drop_log)
@@ -563,10 +575,11 @@ class TestReferenceOneTrainStep:
         }
         return gen, disc, gen_sd0, disc_sd0, expected, g_grads, d_grads
 
-    _our_state = staticmethod(_parity_state)
+    def _our_state(self, cfg, gen_sd, disc_sd):
+        return _parity_state(cfg, gen_sd, disc_sd, pool_shape=self.POOL_SHAPE)
 
     def _cfg(self, p=0.0):
-        return _parity_cfg(p)
+        return _parity_cfg(p, gen=self.GEN, disc=self.DISC)
 
     def _mask_inject(self):
         """Convert the recorded torch dropout masks into the step's injected
@@ -607,18 +620,19 @@ class TestReferenceOneTrainStep:
         # (1) all 7 reference metrics + composite g_loss
         for k, want in expected.items():
             got = float(jax.device_get(metrics[k]))
-            np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4, err_msg=k)
+            np.testing.assert_allclose(got, want, rtol=self.METRIC_TOL,
+                                       atol=self.METRIC_TOL, err_msg=k)
 
         # (2) post-step params / BN stats / spectral u,v
         gv1 = interop.reference_generator_to_variables(gen.state_dict())
         dv1 = interop.reference_discriminator_to_variables(
-            disc.state_dict(), pool_shape=(8, 8, 8))
+            disc.state_dict(), pool_shape=self.POOL_SHAPE)
         # torch gradients (recorded at optimizer.step) mapped onto our param trees:
         # identify leaves whose true gradient is numerically zero (see
         # _GradRecordingRMSprop) — their RMSprop update direction is undefined
         gg1 = interop.reference_generator_to_variables(g_grads)["params"]
         dg1 = interop.reference_discriminator_to_variables(
-            d_grads, pool_shape=(8, 8, 8))["params"]
+            d_grads, pool_shape=self.POOL_SHAPE)["params"]
         # RMSprop update-magnitude bound: lr * g / (sqrt(0.01 g^2) + eps) < 10 * lr
         noise = 2.5 * 10.0 * self.LR
 
@@ -632,6 +646,40 @@ class TestReferenceOneTrainStep:
                     grads=gg1, noise_bound=noise)
         _tree_close(new_state.d_params, dv1["params"], "d_params", 5e-3, 5e-5,
                     grads=dg1, noise_bound=noise)
+
+
+@pytest.mark.skipif(not os.environ.get("PARITY_FULL_ARCH"),
+                    reason="published-architecture composed-step parity "
+                           "(depth 2 / feature_size 64 / notebook critic at "
+                           "256^2, ~140M params): minutes-to-hours on one CPU "
+                           "core — opt in with PARITY_FULL_ARCH=1; the "
+                           "recorded off-CI pass lives in BENCH_NOTES.md r5")
+class TestReferenceOneTrainStepFullArch(TestReferenceOneTrainStep):
+    """VERDICT r4 #6: the composed-step parity harness run ONCE at the
+    PUBLISHED architecture (reference README.md:938-961) — depth-2 /
+    feature_size-64 generator (4,192,783 params) and the notebook critic
+    (139,697,217 params, 131072-wide fc1) at 256^2, dropout p=0.5 with every
+    torch mask captured and replayed. All composed-step CI evidence runs at
+    depth-1/fs-4 toys; this closes the architecture-scale-dependent gap (the
+    fc1 flatten permutation at the real (512,16,16) pool shape, clamp interplay
+    at 140M params).
+
+    METRIC_TOL is widened 2e-4 -> 2e-3: the loss metrics accumulate
+    cross-framework fp32 reduction drift over ~33k-channel contractions (the
+    131072-wide fc1 and 256^2 pixel sums) that the toy architecture doesn't
+    have; a semantic bug (wrong event order / clamp / eps placement) still
+    shows at full metric scale, orders above this bound.
+    """
+
+    GEN = dict(depth=2, length=1, feature_size=64)
+    DISC = dict(num_stride_conv1=1, num_features_conv1=64, num_blocks=[1, 1, 1],
+                num_strides_res=[1, 2, 2], num_features_res=[128, 256, 512])
+    POOL_SHAPE = (512, 16, 16)
+    METRIC_TOL = 2e-3
+
+    @pytest.mark.parametrize("dropout_active", [True], ids=["dropout_p05"])
+    def test_one_step(self, ref, tmp_path, dropout_active):
+        super().test_one_step(ref, tmp_path, dropout_active)
 
 
 class TestReferenceTrajectory:
