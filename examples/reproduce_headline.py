@@ -20,6 +20,13 @@ from pathlib import Path
 
 import jax
 
+# persistent compiled-program cache (same store as bench/tools): the 256^2
+# composed step costs ~10 min to compile fresh over the dev tunnel, and the
+# multi-seed quality drivers run this script 8+ times back to back
+jax.config.update("jax_compilation_cache_dir",
+                  str(Path(__file__).resolve().parents[1] / ".jax_cache_bench"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
 from vaegan_tpu import inference
 from vaegan_tpu.config import preset
 from vaegan_tpu.data.pipeline import make_loader

@@ -25,8 +25,8 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_dp_step():
-    # bounded by the workers' communicate(timeout=540) below
+def test_two_process_dp_step(tmp_path):
+    # bounded by the workers' communicate(timeout=900) below
     port = _free_port()
     env_base = dict(
         # a fresh env WITHOUT the test-session's 8-device XLA_FLAGS: the worker
@@ -37,7 +37,8 @@ def test_two_process_dp_step():
     )
     procs = [
         subprocess.Popen(
-            [sys.executable, "-u", str(WORKER), str(port), str(pid)],
+            [sys.executable, "-u", str(WORKER), str(port), str(pid),
+             str(tmp_path)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env_base)
         for pid in range(2)
@@ -45,7 +46,7 @@ def test_two_process_dp_step():
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=540)
+            out, _ = p.communicate(timeout=900)
             outs.append(out)
     finally:
         for p in procs:
@@ -80,3 +81,21 @@ def test_two_process_dp_step():
         vals = [float(re.search(rf"TP_OK pid=\d+ .*?{metric}=([-\d.]+)", o,
                                 re.DOTALL).group(1)) for o in outs]
         assert abs(vals[0] - vals[1]) < 1e-5, ("dp_x_tp", metric, vals)
+
+    # durability: collectively written orbax checkpoint restored + resumed
+    # across processes with EMA tracked throughout — the resumed state must be
+    # ONE logical state (identical params/EMA digests on both hosts)
+    for pid, out in enumerate(outs):
+        assert f"DURABLE_OK pid={pid} step=3" in out, out[-2000:]
+    for metric in ("d_loss", "ema_digest", "par_digest"):
+        vals = [float(re.search(rf"DURABLE_OK pid=\d+ .*?{metric}=([-\d.]+)", o,
+                                re.DOTALL).group(1)) for o in outs]
+        assert abs(vals[0] - vals[1]) < 1e-4, ("durable_resume", metric, vals)
+
+    # the paper-faithful three-optimizer step (BASELINE config 3) across hosts
+    for pid, out in enumerate(outs):
+        assert f"PAPER_OK pid={pid}" in out, out[-2000:]
+    for metric in ("d_loss", "g_loss"):
+        vals = [float(re.search(rf"PAPER_OK pid=\d+ .*?{metric}=([-\d.]+)", o,
+                                re.DOTALL).group(1)) for o in outs]
+        assert abs(vals[0] - vals[1]) < 1e-5, ("paper_step_dp", metric, vals)
