@@ -110,6 +110,13 @@ class LossConfig(_Replaceable):
     reconstruction_weight: float = 10.0
     kl_weight: float = 0.1
     kl_reduction: str = "sum"          # "sum" (reference README.md:822-825) | "mean"
+    # Dis_l pair under ONE critic-dropout draw (three-opt step only). The
+    # notebook critic's Dropout2d p=0.5 is absent from Larsen's discriminator;
+    # independent masks on the real/x_tilde forwards give the feature-matching
+    # MSE an irreducible ~2·E[f^2] noise floor that buries the reconstruction
+    # signal at batch 4 (measured, result/paper_probes). False = independent
+    # masks (the pre-round-5 behavior).
+    dis_l_shared_dropout: bool = True
     lambda_gp: float = 10.0            # gradient-penalty weight (README.md:763)
     clip_value: Optional[float] = 0.01  # post-step D weight clamp (README.md:805-806);
     # None disables (the clamp on top of GP is a reference quirk, kept as default)

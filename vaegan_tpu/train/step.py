@@ -639,8 +639,21 @@ def make_paper_train_step(cfg: Config, axis_name=None,
                 lr_, lt_, lp_ = all3[:b], all3[b:2 * b], all3[2 * b:]
                 fr_, ft_ = feats3[:b], feats3[b:2 * b]
             else:
+                # Dis_l pair masks: the notebook critic carries Dropout2d
+                # p=0.5 (reference README.md:394) that Larsen's discriminator
+                # does not have. With INDEPENDENT masks on the real and
+                # x_tilde forwards, the feature-matching MSE acquires an
+                # irreducible stochastic floor E||2(m_r - m_f) f(x)||^2 ~
+                # 2 E[f^2] that buries the reconstruction signal at batch 4
+                # (measured: dis_l plateaus 1.2-2.8 while eval pixel MSE sits
+                # 60x above the mean-predictor floor — result/paper_probes).
+                # "shared" evaluates the pair under ONE dropout draw (the
+                # standard feature-matching treatment of a stochastic feature
+                # extractor); the GAN-loss statistics are unchanged in
+                # expectation, and x_p keeps its own draw.
+                shared = lcfg.dis_l_shared_dropout
                 lr_, fr_, st = d_apply(batch, dstate, k_dr)
-                lt_, ft_, st = d_apply(x_tilde, st, k_df)
+                lt_, ft_, st = d_apply(x_tilde, st, k_dr if shared else k_df)
                 lp_, _, st = d_apply(x_p, st, k_dp)
 
             l_prior = losses.kl_divergence(mu, lv, lcfg.kl_reduction)
