@@ -62,13 +62,19 @@ def main():
     ap.add_argument("--kl-weight", type=float, default=None)
     ap.add_argument("--recon-weight", type=float, default=None)
     ap.add_argument("--eval-every", type=int, default=100)
+    ap.add_argument("--ema-decay", type=float, default=None,
+                    help="track a generator EMA and also evaluate its iterate "
+                         "(the oscillating-game recipe: the game reaches the "
+                         "pixel-configs' band transiently then oscillates — "
+                         "see the 2700-step curves in result/paper_probes)")
     ap.add_argument("--out", default=None, help="append the JSON line here")
     args = ap.parse_args()
 
     cfg = preset("vaegan_paper")
     cfg = cfg.replace(
         data=cfg.data.replace(image_size=args.image_size, batch_size=args.batch),
-        train=cfg.train.replace(dtype=args.dtype, seed=args.seed),
+        train=cfg.train.replace(dtype=args.dtype, seed=args.seed,
+                                ema_decay=args.ema_decay),
     )
     if args.feature_tap:
         cfg = cfg.replace(discriminator=cfg.discriminator.replace(
@@ -100,6 +106,13 @@ def main():
         return jnp.take(data, idx, 0)
 
     @jax.jit
+    def ema_mse(st, batch):
+        out = gen.apply({"params": st.g_ema, "batch_stats": st.g_stats},
+                        batch, train=False)
+        return jnp.mean(jnp.square(out[0].astype(jnp.float32)
+                                   - batch.astype(jnp.float32)))
+
+    @jax.jit
     def diagnostics(st, batch, key):
         """Eval-mode pixel MSE + critic saturation probes (mean |logit|)."""
         out = gen.apply({"params": st.g_params, "batch_stats": st.g_stats},
@@ -128,6 +141,9 @@ def main():
             mse, alr, alf = diagnostics(state, held,
                                         jax.random.fold_in(key, 1_000_000 + sno))
             row = {"step": sno,
+                   **({"eval_mse_ema": round(float(jax.device_get(
+                       ema_mse(state, held))), 4)}
+                      if args.ema_decay else {}),
                    "eval_mse_held": round(float(jax.device_get(mse)), 4),
                    "dis_l": round(float(jax.device_get(metrics["recon_loss"])), 4),
                    "l_gan": round(float(jax.device_get(metrics["adv_loss"])), 4),
@@ -142,11 +158,13 @@ def main():
     wall = time.time() - t0
 
     # cell-23 protocol: 3 fresh-draw one-batch eval MSEs
-    draws = []
+    draws, ema_draws = [], []
     for d in range(3):
         b = gather(jnp.asarray(rng.permutation(args.dataset)[: args.batch]))
         mse, _, _ = diagnostics(state, b, jax.random.fold_in(key, 10_000 + d))
         draws.append(round(float(jax.device_get(mse)), 4))
+        if args.ema_decay:
+            ema_draws.append(round(float(jax.device_get(ema_mse(state, b))), 4))
 
     out = {
         "probe": {"feature_tap": cfg.discriminator.feature_tap,
@@ -157,7 +175,12 @@ def main():
                            f"{args.dtype}, {args.steps} steps, style={args.style}, "
                            f"seed {args.seed}",
         "eval_mse_repeat_draws": draws,
+        **({"eval_mse_repeat_draws_ema": ema_draws,
+            "ema_decay": args.ema_decay} if args.ema_decay else {}),
         "eval_mse_mean_predictor_floor": round(float(floor), 4),
+        "curve_min": min((r["eval_mse_held"], r["step"]) for r in curve),
+        **({"curve_min_ema": min((r["eval_mse_ema"], r["step"]) for r in curve)}
+           if args.ema_decay else {}),
         "final": curve[-1],
         "first": curve[0],
         "images_per_sec": round(args.steps * args.batch / wall, 1),
