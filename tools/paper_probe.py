@@ -53,6 +53,19 @@ def main():
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--style", default="blobs",
                     choices=["blobs", "edges", "texture"])
+    ap.add_argument("--data-dir", default=None,
+                    help="on-disk NIfTI dir (tools/make_nifti_dataset.py): "
+                         "stage the decoded dataset in HBM and run the probe "
+                         "on the real-data distribution instead of the "
+                         "in-process synthetic stand-in")
+    ap.add_argument("--keep-best", action="store_true",
+                    help="snapshot the best held-batch iterate (EMA when "
+                         "--ema-decay is set, else live) on device and report "
+                         "the 3-draw eval from THAT iterate too — the "
+                         "oscillating-game operational recipe")
+    ap.add_argument("--save-visuals", default=None, metavar="DIR",
+                    help="render the reference's qualitative deliverables "
+                         "from the best iterate (requires --keep-best)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--feature-tap", default=None,
                     choices=["res_out", "pool", "fc1"])
@@ -92,7 +105,15 @@ def main():
         loss = loss.replace(reconstruction_weight=args.recon_weight)
     cfg = cfg.replace(loss=loss)
 
-    ds = SyntheticDataset(args.dataset, args.image_size, seed=0, style=args.style)
+    if args.data_dir:
+        from vaegan_tpu.data.pipeline import make_dataset
+        cfg = cfg.replace(data=cfg.data.replace(
+            root_dir=args.data_dir, synthetic=False, cache=True))
+        ds = make_dataset(cfg.data)
+        args.dataset = len(ds)
+    else:
+        ds = SyntheticDataset(args.dataset, args.image_size, seed=0,
+                              style=args.style)
     data = jnp.asarray(ds.load_batch(range(args.dataset)))
     rng = np.random.default_rng(args.seed)
 
@@ -132,6 +153,7 @@ def main():
     floor = mean_predictor_floor(held)
     key = jax.random.key(args.seed + 1, impl=cfg.train.rng_impl)
     curve = []
+    best = None  # (held_mse, step, g_params, g_stats) — device-resident
     t0 = time.time()
     for s in range(args.steps):
         idx = jnp.asarray(rng.integers(0, args.dataset, size=args.batch))
@@ -155,16 +177,33 @@ def main():
                    "wall_s": round(time.time() - t0, 1)}
             curve.append(row)
             print(json.dumps(row), flush=True)
+            if args.keep_best:
+                score = row.get("eval_mse_ema", row["eval_mse_held"])
+                if best is None or score < best[0]:
+                    params = state.g_ema if args.ema_decay else state.g_params
+                    snap = jax.tree.map(lambda x: x + 0,
+                                        (params, state.g_stats))
+                    best = (score, sno, *snap)
     wall = time.time() - t0
 
     # cell-23 protocol: 3 fresh-draw one-batch eval MSEs
-    draws, ema_draws = [], []
+    @jax.jit
+    def mse_with(g_params, g_stats, batch):
+        out = gen.apply({"params": g_params, "batch_stats": g_stats},
+                        batch, train=False)
+        return jnp.mean(jnp.square(out[0].astype(jnp.float32)
+                                   - batch.astype(jnp.float32)))
+
+    draws, ema_draws, best_draws = [], [], []
     for d in range(3):
         b = gather(jnp.asarray(rng.permutation(args.dataset)[: args.batch]))
         mse, _, _ = diagnostics(state, b, jax.random.fold_in(key, 10_000 + d))
         draws.append(round(float(jax.device_get(mse)), 4))
         if args.ema_decay:
             ema_draws.append(round(float(jax.device_get(ema_mse(state, b))), 4))
+        if best is not None:
+            best_draws.append(round(float(jax.device_get(
+                mse_with(best[2], best[3], b))), 4))
 
     out = {
         "probe": {"feature_tap": cfg.discriminator.feature_tap,
@@ -177,6 +216,10 @@ def main():
         "eval_mse_repeat_draws": draws,
         **({"eval_mse_repeat_draws_ema": ema_draws,
             "ema_decay": args.ema_decay} if args.ema_decay else {}),
+        **({"eval_mse_repeat_draws_best_iterate": best_draws,
+            "best_iterate_step": best[1],
+            "best_iterate_held_mse": round(best[0], 4)}
+           if best is not None else {}),
         "eval_mse_mean_predictor_floor": round(float(floor), 4),
         "curve_min": min((r["eval_mse_held"], r["step"]) for r in curve),
         **({"curve_min_ema": min((r["eval_mse_ema"], r["step"]) for r in curve)}
@@ -186,6 +229,16 @@ def main():
         "images_per_sec": round(args.steps * args.batch / wall, 1),
         "wall_s": round(wall, 1),
     }
+    if args.save_visuals and best is not None:
+        from vaegan_tpu import inference
+        vis_state = state.replace(g_params=best[2], g_stats=best[3])
+        b = gather(jnp.asarray(rng.permutation(args.dataset)[: max(args.batch, 4)]))
+        out["visuals"] = inference.save_visual_evidence(
+            cfg, vis_state, b, args.save_visuals,
+            key=jax.random.key(7),
+            prefix=f"paper_best_s{args.seed}_")
+        out["visuals_iterate"] = f"best@{best[1]}"
+
     line = json.dumps(out)
     print(line, flush=True)
     if args.out:

@@ -380,6 +380,17 @@ def preset(name: str) -> Config:
             ),
         )
     if name == "vaegan_paper":
+        # Round-5 quality findings (result/paper_probes, BENCH_NOTES r5): with
+        # the notebook's 140M SN critic the BCE game starts saturated (|logit|
+        # ~100-500 from the unconstrained 131072-wide head) and at gamma=1 the
+        # decoder never learns pixel structure (eval MSE ~1.4-26 vs floor
+        # 0.02). gamma=100 (Larsen's decoder feature-matching weight) lets the
+        # game unsaturate around step ~1k, after which it OSCILLATES: the
+        # EMA iterate reaches the pixel-configs' band transiently (96^2 3-seed
+        # EMA minima 0.034/0.053/0.062) and the endpoint diverges. The
+        # operational recipe is therefore gamma=100 + ema_decay=0.999 +
+        # best-iterate selection on a held batch (tools/paper_probe.py
+        # --keep-best), like config 2's DCGAN-budget recipe.
         return base.replace(
             discriminator=_notebook_disc(),
             loss=base.loss.replace(
@@ -387,7 +398,8 @@ def preset(name: str) -> Config:
                 lambda_gp=0.0, kl_reduction="mean",
                 adversarial_weight=1.0, reconstruction_weight=1.0, kl_weight=1.0,
             ),
-            optim=base.optim.replace(scheme="three"),
+            optim=base.optim.replace(scheme="three", gamma=100.0),
+            train=base.train.replace(ema_decay=0.999),
         )
     if name == "vaegan_infer":
         return preset("notebook")
