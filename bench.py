@@ -13,7 +13,10 @@ Env knobs: BENCH_BATCH (default 128 — the measured optimum), BENCH_DTYPE
 (bfloat16|float32, default bfloat16), BENCH_STEPS (default 20),
 BENCH_IMAGE (default 96), BENCH_GP_EVERY (headline default 8 — the fastest
 quality-verified lazy-GP schedule, named in the metric string; 1 = the
-reference-faithful every-step GP; --vae/--paper default 1).
+reference-faithful every-step GP; --vae/--paper default 1), BENCH_N_CRITICS
+(headline default 5 — the reference's own experiment() default schedule,
+quality-verified as a PAIR with gp8 in round 5; 1 = the published runs'
+schedule).
 
 Modes: (default) bare train step; --vae / --paper alternate steps; --loop
 end-to-end train() loop incl. the HBM-staged feed; --infer serving paths;
@@ -354,8 +357,19 @@ def main(preset_name: str = "notebook") -> None:
     # (README.md:812 — G updated every n-th batch, D every batch; n is in the
     # reference's own search grid, README.md:1041): the amortized rate over
     # whole cycles mixing the (do_g_update, do_gp) jit variants exactly as
-    # train() schedules them.
-    n_critics = int(os.environ.get("BENCH_N_CRITICS", 1))
+    # train() schedules them. Headline default is 5 — the reference's OWN
+    # `experiment()` default (README.md:762) — since round 5 quality-verified
+    # the combined nc5+gp8 schedule as a PAIR: at the reference recipe (96^2
+    # batch 4, 900 steps, f32, same-day paired control) it lands 0.051-0.066
+    # (inside the reference's published VAE-GAN band; the nc1 control is 2x
+    # lower at this matched-step budget — G-update starvation, not
+    # instability, max|critic| 1.15), and at the large-batch stress point
+    # (96^2 b128 bf16, 2,400 steps, the matrix's worst seed, EMA 0.999) the
+    # EMA iterate lands 0.040-0.045 — BETTER than the gp8-only stress record
+    # (0.086-0.092). BENCH_N_CRITICS=1 reproduces the published runs' schedule
+    # (849.5 at gp8; with BENCH_GP_EVERY=1, the faithful 559.8-560.7).
+    n_critics = int(os.environ.get(
+        "BENCH_N_CRITICS", 5 if preset_name == "notebook" else 1))
 
     import math
 
