@@ -12,7 +12,18 @@ sharded 8-way, bfloat16, ema_decay=0.999), on an
 
     python tools/run_256dp_virtual_mesh.py [--devices 8] [--steps 2]
 
-Prints one JSON line; the recorded run lives in result/virtualmesh_256dp.json.
+Prints one JSON line on success. **This host cannot complete the run** —
+the round-5 attempts are recorded in result/virtualmesh_256dp_attempts.json:
+the 8-device run was OOM-killed at 129 GB anon-RSS WITH remat on (the 8
+timeshared device threads hold 8 concurrent 256² batch-8 GP-step activation
+sets; the kernel log is quoted in the record), and a 4-device run (~88
+TFLOP/step timeshared onto the host's ONE core ≈ 30+ min/step) was still
+inside phase A when its 2 h timeout fired. The code path itself (sharded
+feed → EMA under DP → orbax checkpoint+resume under DP → EMA eval) is
+exercised by the suite at test shapes (tests/test_parallel.py,
+tests/test_multihost.py — including cross-process restore), and the preset's
+quality evidence at its real operating point is the grad_accum=4 on-chip
+record (BENCH_NOTES).
 """
 
 import argparse
