@@ -114,7 +114,11 @@ def main():
     else:
         ds = SyntheticDataset(args.dataset, args.image_size, seed=0,
                               style=args.style)
-    data = jnp.asarray(ds.load_batch(range(args.dataset)))
+    # device-resident dataset passed as a jit ARGUMENT, never closed over: a
+    # captured constant is embedded in the compile payload, and the 256^2
+    # dataset (315 MB) exceeds the dev tunnel's remote_compile request limit
+    # (HTTP 413) — the 96^2 one (44 MB) merely bloated it
+    data = jax.device_put(jnp.asarray(ds.load_batch(range(args.dataset))))
     rng = np.random.default_rng(args.seed)
 
     state = create_train_state(cfg, jax.random.key(args.seed, impl=cfg.train.rng_impl))
@@ -123,7 +127,7 @@ def main():
     gen, disc = build_models(cfg)
 
     @jax.jit
-    def gather(idx):
+    def gather(data, idx):
         return jnp.take(data, idx, 0)
 
     @jax.jit
@@ -148,7 +152,7 @@ def main():
                          train=False)
         return mse, jnp.mean(jnp.abs(lr_)), jnp.mean(jnp.abs(lf_))
 
-    held = gather(jnp.asarray(rng.permutation(args.dataset)[: max(args.batch, 4)]))
+    held = gather(data, jnp.asarray(rng.permutation(args.dataset)[: max(args.batch, 4)]))
     from vaegan_tpu.inference import mean_predictor_floor
     floor = mean_predictor_floor(held)
     key = jax.random.key(args.seed + 1, impl=cfg.train.rng_impl)
@@ -157,7 +161,7 @@ def main():
     t0 = time.time()
     for s in range(args.steps):
         idx = jnp.asarray(rng.integers(0, args.dataset, size=args.batch))
-        state, metrics = step(state, gather(idx), jax.random.fold_in(key, s))
+        state, metrics = step(state, gather(data, idx), jax.random.fold_in(key, s))
         sno = s + 1
         if sno % args.eval_every == 0 or sno == 1:
             mse, alr, alf = diagnostics(state, held,
@@ -196,7 +200,7 @@ def main():
 
     draws, ema_draws, best_draws = [], [], []
     for d in range(3):
-        b = gather(jnp.asarray(rng.permutation(args.dataset)[: args.batch]))
+        b = gather(data, jnp.asarray(rng.permutation(args.dataset)[: args.batch]))
         mse, _, _ = diagnostics(state, b, jax.random.fold_in(key, 10_000 + d))
         draws.append(round(float(jax.device_get(mse)), 4))
         if args.ema_decay:
@@ -232,7 +236,7 @@ def main():
     if args.save_visuals and best is not None:
         from vaegan_tpu import inference
         vis_state = state.replace(g_params=best[2], g_stats=best[3])
-        b = gather(jnp.asarray(rng.permutation(args.dataset)[: max(args.batch, 4)]))
+        b = gather(data, jnp.asarray(rng.permutation(args.dataset)[: max(args.batch, 4)]))
         out["visuals"] = inference.save_visual_evidence(
             cfg, vis_state, b, args.save_visuals,
             key=jax.random.key(7),
