@@ -350,7 +350,12 @@ def preset(name: str) -> Config:
       floor by step ~2.5k at 96^2 b64) but does not HOLD it — the equilibrium
       oscillates and degrades after ~10k steps (tools/gan_only_budget.py,
       BENCH_NOTES.md round 4); the anchored configs (1, 3, 5) buy stability,
-      and remain the quality-verified ones.
+      and remain the quality-verified ones. Operational recipe (round 5,
+      measured through a full 20k-step divergence): run with
+      ``tools/gan_only_budget.py --keep-best`` — the on-device best-iterate
+      snapshot retains the curve minimum (proxy 0.0117, below the
+      mean-predictor floor, at step ~2.5k) while the live endpoint diverges
+      (result/gan_only_keepbest/).
     - ``vaegan_paper``  — BASELINE config 3: Dis_l feature matching + BCE + three optimizers.
     - ``vaegan_infer``  — BASELINE config 4: inference/generation-path config.
     - ``vaegan_256_dp`` — BASELINE config 5: 256x256, large batch, data parallel.
